@@ -1,0 +1,50 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
+and the full device pipeline are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xF1AC)
+
+
+def make_signal(rng, n, channels=2, depth=16, kind="mixed"):
+    """Synthetic PCM covering the encoder's decision space."""
+    lo = -(1 << (depth - 1))
+    hi = (1 << (depth - 1)) - 1
+    t = np.arange(n)
+    if kind == "silence":
+        x = np.zeros((channels, n))
+    elif kind == "constant":
+        x = np.full((channels, n), 1234 % hi)
+    elif kind == "sine":
+        x = 0.4 * hi * np.sin(2 * np.pi * 440 * t / 44100)
+        x = np.stack([x * (1 - 0.1 * c) for c in range(channels)])
+    elif kind == "noise":
+        x = rng.uniform(lo, hi, size=(channels, n))
+    elif kind == "ramp":
+        x = np.stack([(t * (c + 3)) % (hi // 2) for c in range(channels)])
+    elif kind == "quiet_noise":
+        x = rng.normal(0, max(hi >> 10, 2), size=(channels, n))
+    elif kind == "mixed":
+        base = 0.3 * hi * np.sin(2 * np.pi * 220 * t / 44100)
+        noise = rng.normal(0, max(hi >> 8, 2), size=(channels, n))
+        x = np.stack([base + noise[c] for c in range(channels)])
+    elif kind == "alternating":
+        x = np.stack([((-1) ** t) * (hi >> 2) for _ in range(channels)])
+    elif kind == "extreme":
+        x = rng.choice([lo, hi, 0, -1, 1], size=(channels, n))
+    else:
+        raise ValueError(kind)
+    return np.clip(np.round(x), lo, hi).astype(np.int32)

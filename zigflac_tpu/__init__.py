@@ -1,0 +1,52 @@
+"""zigflac_tpu — a TPU-native FLAC encoding framework.
+
+A from-scratch re-design of the capabilities of the ``toastori/zig-flac``
+reference encoder (wav2flac CLI + libFLAC module) for TPU hardware:
+
+* Frames are the batch axis: all per-frame hot loops — stereo-mode selection,
+  fixed-predictor order search, residual computation, Rice parameter sweep —
+  run as batched JAX/XLA integer tensor ops over an HBM-resident
+  ``[n_frames, block_size]`` sample tensor (reference hot loops:
+  libFLAC/fixed.zig:88-168, libFLAC/rice.zig:237-375,
+  libFLAC/Encoder.zig:233-376).
+* Bitstream assembly is parallelized: per-symbol bit lengths -> prefix-sum bit
+  offsets -> segment-sum bit deposits into packed words on device (reference
+  serial bit packer: libFLAC/FrameWriter.zig:36-114).
+* CRC-16 runs as an on-device GF(2)-linear reduction (reference serial/clmul
+  path: libFLAC/Crc16.zig).
+* The serial WAV parse stays on host as a thin feeder
+  (reference: src/WavReader.zig).
+
+Public API mirrors the reference's ``libFLAC`` module surface:
+``Encoder``, ``EncoderConfig``, ``StreamInfo``, plus the ``wav2flac``
+CLI (``python -m zigflac_tpu.cli``).
+"""
+
+import jax as _jax
+
+# The 32-bit-depth side channel is 33-bit signed (libFLAC/Encoder.zig:50,95-100)
+# and the Rice cost sweep uses u64 wrapping arithmetic (libFLAC/rice.zig:344-375);
+# both need x64 mode. Hot kernels stay in 32-bit dtypes explicitly.
+_jax.config.update("jax_enable_x64", True)
+
+from .metadata import StreamInfo, BlockType  # noqa: E402
+from .utils.config import EncoderConfig  # noqa: E402
+from .wav import WavReader, WavFormatError  # noqa: E402
+from .models.encoder import Encoder, encode_wav_bytes, encode_file  # noqa: E402
+from .decoder import decode_flac, verify_flac  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "StreamInfo",
+    "BlockType",
+    "EncoderConfig",
+    "WavReader",
+    "WavFormatError",
+    "Encoder",
+    "encode_wav_bytes",
+    "encode_file",
+    "decode_flac",
+    "verify_flac",
+    "__version__",
+]

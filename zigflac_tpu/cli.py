@@ -1,0 +1,104 @@
+"""wav2flac CLI.
+
+``python -m zigflac_tpu.cli in_file.wav out_file.flac``
+
+Matches the reference CLI contract (src/main.zig:9-42): exit 1 on usage
+error, exit 2 on a WAV format FLAC cannot represent. Adds the flags the
+reference queued but never shipped (readme.md:29 "Proper cmd args"):
+block size, prediction mode, rice limits, backend selection, verification.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .utils.config import EncoderConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="wav2flac",
+        description="TPU-native FLAC encoder (zigflac_tpu)",
+    )
+    p.add_argument("input", help="input WAV file")
+    p.add_argument("output", help="output FLAC file")
+    p.add_argument("--block-size", type=int, default=4096)
+    p.add_argument(
+        "--prediction", choices=["fixed", "none", "lpc"], default="fixed"
+    )
+    p.add_argument("--max-rice-order", type=int, default=8)
+    p.add_argument("--max-rice-param", type=int, default=30, choices=[14, 30])
+    p.add_argument("--lpc-order", type=int, default=8)
+    p.add_argument(
+        "--backend", choices=["auto", "device", "golden"], default="auto"
+    )
+    p.add_argument(
+        "--verify", action="store_true",
+        help="decode the output and verify CRCs + MD5 round-trip",
+    )
+    p.add_argument("--stats", action="store_true", help="print throughput stats")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .models.encoder import encode_file
+    from .wav import WavFormatError
+
+    cfg_kwargs = dict(
+        block_size=args.block_size,
+        prediction=args.prediction,
+        max_rice_order=args.max_rice_order,
+        max_rice_param=args.max_rice_param,
+        lpc_order=args.lpc_order,
+    )
+
+    try:
+        from .wav import WavReader
+
+        wav = WavReader.from_file(args.input)
+        cfg = EncoderConfig(
+            channels="stereo_auto" if wav.channels == 2 else wav.channels,
+            **cfg_kwargs,
+        )
+        t0 = time.perf_counter()
+        encode_file(args.input, args.output, config=cfg, backend=args.backend)
+        dt = time.perf_counter() - t0
+    except WavFormatError as e:
+        print(f"format: flac does not support this wav format ({e})", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    if args.stats:
+        import os
+
+        in_bytes = os.path.getsize(args.input)
+        out_bytes = os.path.getsize(args.output)
+        pcm_bytes = wav.samples_count * wav.channels * wav.bytes_per_sample
+        realtime = wav.samples_count / wav.sample_rate if wav.sample_rate else 0
+        print(
+            f"encoded {in_bytes/1e6:.2f} MB -> {out_bytes/1e6:.2f} MB "
+            f"(ratio {out_bytes/max(in_bytes,1):.3f}) in {dt*1e3:.1f} ms "
+            f"= {pcm_bytes/dt/1e6:.1f} MB/s"
+            + (f" = {realtime/dt:.0f}x realtime" if realtime else "")
+        )
+
+    if args.verify:
+        from .decoder import verify_flac
+
+        with open(args.output, "rb") as f:
+            ok = verify_flac(f.read())
+        if not ok:
+            print("verify: FAILED", file=sys.stderr)
+            return 3
+        print("verify: ok")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

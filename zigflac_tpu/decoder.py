@@ -1,0 +1,333 @@
+"""FLAC decoder — the round-trip correctness oracle (and BASELINE config 5).
+
+The reference has no decoder (readme.md:33 lists it as queued); ours exists so
+every encoded stream can be verified end-to-end: parse metadata + frames,
+Rice-decode residuals, run fixed/LPC synthesis, check frame CRC-8/CRC-16 and
+the STREAMINFO MD5 against the reconstructed PCM.
+
+Supports everything our encoder emits: constant/verbatim/fixed(0-4)/LPC
+subframes, 4+5-bit Rice methods with escape partitions, all stereo modes,
+UTF-8-coded frame numbers, uncommon block sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .crc import crc8, crc16
+from .utils.bits import BitReader
+from .metadata import StreamInfo
+
+
+class FlacDecodeError(ValueError):
+    pass
+
+
+BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768,
+}
+SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050, 7: 24000,
+    8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+# frame-header 4-bit depth codes as the reference writes them
+# (FrameWriter.zig:202-214): {0: from-streaminfo, 2: 8, 8: 16, 12: 24, 14: 32}
+DEPTH_CODES_4BIT = {0: 0, 2: 8, 8: 16, 12: 24, 14: 32}
+
+FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+@dataclass
+class DecodedStream:
+    info: StreamInfo
+    samples: np.ndarray  # [channels, n] int64 (covers 33-bit side math)
+    vendor: Optional[bytes]
+    frame_count: int
+    md5_ok: bool
+
+
+def _parse_metadata(data: bytes) -> Tuple[StreamInfo, Optional[bytes], int]:
+    if data[:4] != b"fLaC":
+        raise FlacDecodeError("bad signature")
+    pos = 4
+    info: Optional[StreamInfo] = None
+    vendor: Optional[bytes] = None
+    while True:
+        hdr = data[pos]
+        is_last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        pos += 4 + length
+        if btype == 0:  # STREAMINFO
+            if length != 34:
+                raise FlacDecodeError("bad STREAMINFO length")
+            min_block = int.from_bytes(body[0:2], "big")
+            max_block = int.from_bytes(body[2:4], "big")
+            min_frame = int.from_bytes(body[4:7], "big")
+            max_frame = int.from_bytes(body[7:10], "big")
+            packed = int.from_bytes(body[10:18], "big")
+            sample_rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bit_depth = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            info = StreamInfo(
+                sample_rate=sample_rate,
+                channels=channels,
+                bit_depth=bit_depth,
+                interchannel_samples=total,
+                min_block_size=min_block,
+                max_block_size=max_block,
+                md5=body[18:34],
+                min_frame_size=min_frame,
+                max_frame_size=max_frame,
+            )
+        elif btype == 4:  # VorbisComment
+            vlen = int.from_bytes(body[0:4], "little")
+            vendor = body[4 : 4 + vlen]
+        if is_last:
+            break
+    if info is None:
+        raise FlacDecodeError("no STREAMINFO")
+    return info, vendor, pos
+
+
+def _read_utf8_number(r: BitReader) -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    n_cont = 0
+    mask = 0x40
+    while first & mask:
+        n_cont += 1
+        mask >>= 1
+    value = first & (mask - 1)
+    for _ in range(n_cont):
+        b = r.read(8)
+        if (b & 0xC0) != 0x80:
+            raise FlacDecodeError("bad UTF-8 frame number")
+        value = (value << 6) | (b & 0x3F)
+    return value
+
+
+def _decode_residual_partitions(
+    r: BitReader, block_size: int, pred_order: int
+) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise FlacDecodeError("bad residual method")
+    param_len = 4 + method
+    escape = (1 << param_len) - 1
+    part_order = r.read(4)
+    part_count = 1 << part_order
+    out = np.zeros(block_size - pred_order, dtype=np.int64)
+    idx = 0
+    for p in range(part_count):
+        part_size = block_size >> part_order
+        if p == 0:
+            part_size -= pred_order
+        param = r.read(param_len)
+        if param == escape:
+            bps = r.read(5)
+            if bps == 0:
+                idx += part_size
+                continue
+            for i in range(part_size):
+                out[idx + i] = r.read_signed(bps)
+            idx += part_size
+        else:
+            k = param
+            for i in range(part_size):
+                q = r.read_unary()
+                z = (q << k) | (r.read(k) if k else 0)
+                out[idx + i] = (z >> 1) ^ -(z & 1)
+            idx += part_size
+    return out
+
+
+def _synthesize(warmup: np.ndarray, residual: np.ndarray, coeffs: List[int],
+                shift: int = 0) -> np.ndarray:
+    order = len(coeffs)
+    n = order + len(residual)
+    out = np.zeros(n, dtype=np.int64)
+    out[:order] = warmup
+    o = out.tolist()
+    res = residual.tolist()
+    for i in range(order, n):
+        pred = 0
+        for j in range(order):
+            pred += coeffs[j] * o[i - 1 - j]
+        o[i] = res[i - order] + (pred >> shift)
+    return np.array(o, dtype=np.int64)
+
+
+def _decode_subframe(r: BitReader, block_size: int, sample_size: int) -> np.ndarray:
+    if r.read(1) != 0:
+        raise FlacDecodeError("bad subframe sync bit")
+    sf_type = r.read(6)
+    wasted = 0
+    if r.read(1) == 1:
+        wasted = 1 + r.read_unary()
+        sample_size -= wasted
+    if sf_type == 0:  # constant
+        v = r.read_signed(sample_size)
+        out = np.full(block_size, v, dtype=np.int64)
+    elif sf_type == 1:  # verbatim
+        out = np.array(
+            [r.read_signed(sample_size) for _ in range(block_size)], dtype=np.int64
+        )
+    elif 8 <= sf_type <= 12:  # fixed, order = type & 7
+        order = sf_type & 7
+        warmup = np.array(
+            [r.read_signed(sample_size) for _ in range(order)], dtype=np.int64
+        )
+        residual = _decode_residual_partitions(r, block_size, order)
+        out = _synthesize(warmup, residual, FIXED_COEFFS[order])
+    elif sf_type >= 32:  # LPC, order = (type & 31) + 1
+        order = (sf_type & 31) + 1
+        warmup = np.array(
+            [r.read_signed(sample_size) for _ in range(order)], dtype=np.int64
+        )
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise FlacDecodeError("invalid LPC precision")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise FlacDecodeError("negative LPC shift")
+        coeffs = [r.read_signed(precision) for _ in range(order)]
+        residual = _decode_residual_partitions(r, block_size, order)
+        out = _synthesize(warmup, residual, coeffs, shift)
+    else:
+        raise FlacDecodeError(f"unsupported subframe type {sf_type}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+def decode_frame(
+    data: bytes, start: int, info: StreamInfo, check_crc: bool = True
+) -> Tuple[np.ndarray, int, int]:
+    """Decode one frame starting at byte offset ``start``.
+
+    Returns (samples [channels, block_size] int64, frame_number, end_offset).
+    """
+    r = BitReader(data, start * 8)
+    sync = r.read(14)
+    if sync != 0x3FFE:
+        raise FlacDecodeError(f"bad frame sync at {start}")
+    r.read(1)  # reserved
+    _blocking = r.read(1)  # 0 fixed, 1 variable
+    bs_code = r.read(4)
+    sr_code = r.read(4)
+    ch_code = r.read(4)
+    depth_code = r.read(4)
+    frame_number = _read_utf8_number(r)
+    if bs_code == 6:
+        block_size = r.read(8) + 1
+    elif bs_code == 7:
+        block_size = r.read(16) + 1
+    elif bs_code in BLOCK_SIZES:
+        block_size = BLOCK_SIZES[bs_code]
+    else:
+        raise FlacDecodeError("reserved block size code")
+    if sr_code == 12:
+        r.read(8)
+    elif sr_code in (13, 14):
+        r.read(16)
+    header_end_byte = r.bit_position // 8
+    expected_crc8 = crc8(data[start:header_end_byte])
+    got_crc8 = r.read(8)
+    if check_crc and got_crc8 != expected_crc8:
+        raise FlacDecodeError(f"frame header CRC-8 mismatch at {start}")
+    if depth_code not in DEPTH_CODES_4BIT:
+        raise FlacDecodeError(f"unsupported depth code {depth_code}")
+    depth = DEPTH_CODES_4BIT[depth_code] or info.bit_depth
+
+    if ch_code <= 7:
+        n_ch = ch_code + 1
+        planes = [_decode_subframe(r, block_size, depth) for _ in range(n_ch)]
+        samples = np.stack(planes)
+    elif ch_code == 8:  # left-side: wire = (left @ depth, side @ depth+1)
+        left = _decode_subframe(r, block_size, depth)
+        side = _decode_subframe(r, block_size, depth + 1)
+        samples = np.stack([left, left - side])
+    elif ch_code == 9:  # side-right: wire = (side @ depth+1, right @ depth)
+        side = _decode_subframe(r, block_size, depth + 1)
+        right = _decode_subframe(r, block_size, depth)
+        samples = np.stack([side + right, right])
+    elif ch_code == 10:  # mid-side: wire = (mid @ depth, side @ depth+1)
+        mid = _decode_subframe(r, block_size, depth)
+        side = _decode_subframe(r, block_size, depth + 1)
+        # mid = (l+r)>>1 (floor), side = l-r  =>  l = mid + ((side + (side&1)) >> 1)
+        left = mid + ((side + (side & 1)) >> 1)
+        samples = np.stack([left, left - side])
+    else:
+        raise FlacDecodeError("reserved channel code")
+    r.align_to_byte()
+    body_end = r.bit_position // 8
+    got_crc16 = r.read(16)
+    if check_crc:
+        expected_crc16 = crc16(data[start:body_end])
+        if got_crc16 != expected_crc16:
+            raise FlacDecodeError(f"frame CRC-16 mismatch at {start}")
+    return samples, frame_number, body_end + 2
+
+
+def decode_flac(data: bytes, check_crc: bool = True) -> DecodedStream:
+    info, vendor, pos = _parse_metadata(data)
+    chunks: List[np.ndarray] = []
+    frame_count = 0
+    total = 0
+    while total < info.interchannel_samples and pos < len(data):
+        samples, _fn, pos = decode_frame(data, pos, info, check_crc)
+        chunks.append(samples)
+        total += samples.shape[1]
+        frame_count += 1
+    if total != info.interchannel_samples:
+        raise FlacDecodeError(
+            f"decoded {total} samples, STREAMINFO says {info.interchannel_samples}"
+        )
+    samples = np.concatenate(chunks, axis=1) if chunks else np.zeros(
+        (info.channels, 0), dtype=np.int64
+    )
+    md5_ok = _verify_md5(samples, info)
+    return DecodedStream(info, samples, vendor, frame_count, md5_ok)
+
+
+def _verify_md5(samples: np.ndarray, info: StreamInfo) -> bool:
+    """Re-derive the raw little-endian PCM byte stream and compare its MD5
+    with STREAMINFO's (which the encoder computed over the raw WAV bytes,
+    src/WavReader.zig:69)."""
+    if info.md5 == b"\x00" * 16:
+        return True
+    nb = info.bit_depth // 8
+    if nb == 0 or nb * 8 != info.bit_depth:
+        return True  # non-byte-aligned depths: raw byte layout undefined here
+    inter = samples.T  # [n, c]
+    if nb == 1:
+        # invert the reference's 8-bit read quirk (byte b -> sample b-1)
+        inter = inter + 1
+    u = (inter.astype(np.int64) & ((1 << (8 * nb)) - 1)).astype(np.uint64)
+    b = u[..., None].view(np.uint8).reshape(*u.shape, 8)[:, :, :nb]
+    raw = np.ascontiguousarray(b).tobytes()
+    return hashlib.md5(raw).digest() == info.md5
+
+
+def verify_flac(data: bytes) -> bool:
+    """Decode + verify CRCs and MD5; True iff everything checks out."""
+    try:
+        dec = decode_flac(data, check_crc=True)
+    except FlacDecodeError:
+        return False
+    return dec.md5_ok

@@ -1,0 +1,115 @@
+"""FLAC metadata blocks: STREAMINFO packing, block headers, vorbis comment.
+
+Mirrors the reference's metadata layer (libFLAC/metadata.zig) and the
+header/vorbis-comment writers (libFLAC/Encoder.zig:384-419), including the
+exact 34-byte big-endian STREAMINFO packing (libFLAC/metadata.zig:42-68) and
+the min/max frame-size update quirk (libFLAC/metadata.zig:35-40: `else if`
+means a frame that raises the max never lowers the min in the same step).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+HEADER_SIZE = 4 + 1 + 3 + 34  # fLaC + BlockHeader + u24 length + STREAMINFO
+VENDOR_STRING = b"toastori FLAC 0.0.0"  # byte-compat vendor (libFLAC/Encoder.zig:410)
+
+U24_MAX = (1 << 24) - 1
+
+
+class BlockType(enum.IntEnum):
+    StreamInfo = 0
+    Padding = 1
+    Application = 2
+    SeekTable = 3
+    VorbisComment = 4
+    CueSheet = 5
+    Picture = 6
+    Forbidden = 127
+
+
+def block_header_byte(block_type: BlockType, is_last: bool) -> int:
+    """1 = last-metadata flag (MSB), 7 bits block type."""
+    return (0x80 if is_last else 0) | int(block_type)
+
+
+@dataclass
+class StreamInfo:
+    sample_rate: int
+    channels: int
+    bit_depth: int
+    interchannel_samples: int
+    min_block_size: int
+    max_block_size: int
+    md5: bytes = b"\x00" * 16
+    min_frame_size: int = U24_MAX
+    max_frame_size: int = 0
+
+    def update_frame_size(self, frame_size: int) -> None:
+        # NOTE the `else if`: replicates libFLAC/metadata.zig:35-40 exactly.
+        if frame_size > self.max_frame_size:
+            self.max_frame_size = frame_size
+        elif frame_size < self.min_frame_size:
+            self.min_frame_size = frame_size
+
+    def update_frame_sizes(self, frame_sizes: np.ndarray) -> None:
+        """Vectorized equivalent of calling update_frame_size per frame in
+        order. A frame updates min iff it is not a strict new running max."""
+        if frame_sizes.size == 0:
+            return
+        s = np.asarray(frame_sizes, dtype=np.int64)
+        run_max_before = np.empty_like(s)
+        run_max_before[0] = self.max_frame_size
+        if s.size > 1:
+            np.maximum.accumulate(s[:-1], out=run_max_before[1:])
+            np.maximum(run_max_before[1:], self.max_frame_size, out=run_max_before[1:])
+        not_new_max = s <= run_max_before
+        if not_new_max.any():
+            self.min_frame_size = min(self.min_frame_size, int(s[not_new_max].min()))
+        self.max_frame_size = max(self.max_frame_size, int(s.max()))
+
+    def bytes(self) -> bytes:
+        """Exact 34-byte big-endian STREAMINFO (libFLAC/metadata.zig:42-68)."""
+        out = bytearray(34)
+        out[0:2] = self.min_block_size.to_bytes(2, "big")
+        out[2:4] = self.max_block_size.to_bytes(2, "big")
+        out[4:7] = self.min_frame_size.to_bytes(3, "big")
+        out[7:10] = self.max_frame_size.to_bytes(3, "big")
+        sr = (self.sample_rate << 4) & 0xFFFFFF
+        sr_be = bytearray(sr.to_bytes(3, "big"))
+        sr_be[2] |= ((self.channels - 1) << 1) & 0xFF
+        sr_be[2] |= ((self.bit_depth - 1) >> 4) & 0xFF
+        out[10:13] = sr_be
+        ics = (self.interchannel_samples << 24) & ((1 << 64) - 1)
+        ics_be = bytearray(ics.to_bytes(8, "big"))
+        ics_be[0] |= ((self.bit_depth - 1) << 4) & 0xFF
+        out[13:18] = ics_be[0:5]
+        out[18:34] = self.md5
+        return bytes(out)
+
+
+def streaminfo_block(info: StreamInfo, is_last: bool) -> bytes:
+    """fLaC signature + STREAMINFO block (libFLAC/Encoder.zig:394-403)."""
+    return (
+        b"fLaC"
+        + bytes([block_header_byte(BlockType.StreamInfo, is_last)])
+        + (34).to_bytes(3, "big")
+        + info.bytes()
+    )
+
+
+def vorbis_comment_block(is_last: bool, vendor: bytes = VENDOR_STRING) -> bytes:
+    """VorbisComment block, zero tags (libFLAC/Encoder.zig:409-419)."""
+    body = (
+        len(vendor).to_bytes(4, "little")
+        + vendor
+        + (0).to_bytes(4, "little")
+    )
+    return (
+        bytes([block_header_byte(BlockType.VorbisComment, is_last)])
+        + len(body).to_bytes(3, "big")
+        + body
+    )

@@ -1,0 +1,186 @@
+"""Encoder orchestrator — the wav2flac session.
+
+Mirrors the reference session protocol (src/wav2flac.zig:11-78): metadata
+header + VorbisComment, per-frame encode, MD5 over the raw PCM byte stream,
+min/max frame-size tracking, and the finalized STREAMINFO written first in
+the output (the reference seeks back; we assemble in memory / write last).
+
+Two interchangeable frame backends:
+
+* ``device`` — the TPU pipeline (models/pipeline.py): frames are batched
+  ``[n_frames, channels, block_size]`` and every decision + the bitstream
+  packing runs as XLA ops on the accelerator.
+* ``golden`` — the scalar host oracle (golden.py), used for tests, tiny
+  inputs, and as the fallback for ragged final frames.
+
+Both produce byte-identical frames.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+
+from .. import golden
+from ..metadata import StreamInfo, streaminfo_block, vorbis_comment_block
+from ..utils.config import EncoderConfig
+from ..wav import WavReader
+
+
+class Encoder:
+    """FLAC stream encoder over planar int32 samples.
+
+    Equivalent surface to the reference ``libFLAC.Encoder``
+    (libFLAC/Encoder.zig:55-419): construct with a config + bit depth, then
+    ``encode_stream`` produces the complete FLAC byte stream (signature,
+    STREAMINFO, VorbisComment, frames).
+    """
+
+    def __init__(
+        self,
+        config: EncoderConfig,
+        bit_depth: int,
+        backend: str = "auto",
+    ) -> None:
+        self.config = config
+        self.bit_depth = bit_depth
+        if backend == "auto":
+            backend = "device" if _device_available() else "golden"
+        if backend not in ("device", "golden"):
+            raise ValueError(f"unknown backend {backend}")
+        self.backend = backend
+        self._pipeline = None
+
+    # -- frame-level API ----------------------------------------------------
+
+    def encode_frames_batch(
+        self, frames: np.ndarray, first_frame_number: int, info: StreamInfo
+    ) -> List[bytes]:
+        """Encode ``[n_frames, channels, block_size]`` full frames."""
+        if self.backend == "device":
+            return self._device_pipeline().encode_frames(
+                frames, first_frame_number, info
+            )
+        return [
+            golden.encode_frame(
+                [frames[i, c] for c in range(frames.shape[1])],
+                first_frame_number + i,
+                info,
+                self.config,
+            )
+            for i in range(frames.shape[0])
+        ]
+
+    def encode_frame(
+        self, planes: List[np.ndarray], frame_number: int, info: StreamInfo
+    ) -> bytes:
+        return golden.encode_frame(planes, frame_number, info, self.config)
+
+    def _device_pipeline(self):
+        if self._pipeline is None:
+            from .pipeline import DevicePipeline
+
+            self._pipeline = DevicePipeline(self.config, self.bit_depth)
+        return self._pipeline
+
+    # -- stream-level API ---------------------------------------------------
+
+    def encode_stream(
+        self,
+        samples: np.ndarray,
+        info: StreamInfo,
+        raw_pcm_bytes: Optional[bytes] = None,
+    ) -> bytes:
+        """Planar ``[channels, n] int32`` -> complete FLAC stream.
+
+        ``raw_pcm_bytes`` is the little-endian interleaved byte stream the
+        STREAMINFO MD5 covers; when None it is reconstructed from samples.
+        """
+        c, n = samples.shape
+        block = self.config.block_size
+        n_full = n // block
+        rem = n - n_full * block
+
+        frame_bytes: List[bytes] = []
+        if n_full:
+            batch = (
+                samples[:, : n_full * block]
+                .reshape(c, n_full, block)
+                .transpose(1, 0, 2)
+            )
+            frame_bytes.extend(self.encode_frames_batch(batch, 0, info))
+        if rem:
+            planes = [samples[ch, n_full * block :] for ch in range(c)]
+            frame_bytes.append(self.encode_frame(planes, n_full, info))
+
+        sizes = np.array([len(b) for b in frame_bytes], dtype=np.int64)
+        info.update_frame_sizes(sizes)
+
+        if raw_pcm_bytes is None:
+            raw_pcm_bytes = _reconstruct_raw_bytes(samples, self.bit_depth)
+        info.md5 = hashlib.md5(raw_pcm_bytes).digest()
+
+        return (
+            streaminfo_block(info, is_last=False)
+            + vorbis_comment_block(is_last=True)
+            + b"".join(frame_bytes)
+        )
+
+
+def _device_available() -> bool:
+    try:
+        from . import pipeline  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _reconstruct_raw_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
+    nb = bit_depth // 8
+    if nb == 0:
+        raise ValueError("cannot reconstruct raw bytes for sub-byte depths")
+    inter = samples.T.astype(np.int64)
+    if nb == 1:
+        inter = inter + 1  # invert the reference 8-bit read quirk
+    u = (inter & ((1 << (8 * nb)) - 1)).astype(np.uint64)
+    b = u[..., None].view(np.uint8).reshape(*u.shape, 8)[:, :, :nb]
+    return np.ascontiguousarray(b).tobytes()
+
+
+def encode_wav_bytes(
+    wav_bytes: bytes,
+    config: Optional[EncoderConfig] = None,
+    backend: str = "auto",
+) -> bytes:
+    """The wav2flac path: WAV bytes in, FLAC bytes out
+    (src/main.zig + src/wav2flac.zig)."""
+    wav = WavReader.from_bytes(wav_bytes)
+    cfg = config or EncoderConfig.default(wav.channels)
+    info = wav.flac_streaminfo(cfg.block_size)
+    samples = wav.planar_samples()
+    enc = Encoder(cfg, wav.bit_depth, backend=backend)
+    return enc.encode_stream(
+        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes())
+    )
+
+
+def encode_file(
+    input_path: str,
+    output_path: str,
+    config: Optional[EncoderConfig] = None,
+    backend: str = "auto",
+) -> StreamInfo:
+    with open(input_path, "rb") as f:
+        wav_bytes = f.read()
+    wav = WavReader.from_bytes(wav_bytes)
+    cfg = config or EncoderConfig.default(wav.channels)
+    info = wav.flac_streaminfo(cfg.block_size)
+    samples = wav.planar_samples()
+    enc = Encoder(cfg, wav.bit_depth, backend=backend)
+    out = enc.encode_stream(samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()))
+    with open(output_path, "wb") as f:
+        f.write(out)
+    return info

@@ -1,0 +1,233 @@
+"""Host-side WAV container feeder.
+
+RIFF/WAVE parsing with PCM and PCM_EXTEND (0xFFFE) codecs and unknown-chunk
+skipping, matching the reference parser (src/WavReader.zig:118-171), then
+vectorized de-interleave + sign-extension of the sample bytes into a planar
+``[channels, n_samples] int32`` array (semantics of src/WavReader.zig:44-93
+and :231-245: bytes land in the top bytes of each i32, 1-byte samples get an
+unsigned->signed subtraction *before* the arithmetic sign-extension shift —
+quirk preserved — and all other depths arithmetic-shift down by
+``32 - bit_depth``).
+
+The WAV parse is inherently serial and trivial; it stays on host. Everything
+downstream (the encoder core) consumes the planar int32 tensor.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+from .metadata import StreamInfo
+
+
+class WavFormatError(ValueError):
+    """Malformed or unsupported WAV input (reference error set:
+    src/WavReader.zig:249-270)."""
+
+
+@dataclass
+class WavReader:
+    sample_rate: int
+    bit_depth: int
+    channels: int
+    bytes_per_sample: int
+    samples_count: int          # per-channel sample count
+    data: memoryview            # raw little-endian interleaved PCM bytes
+
+    # -- parsing ------------------------------------------------------------
+
+    @classmethod
+    def from_bytes(cls, raw: bytes | memoryview) -> "WavReader":
+        buf = memoryview(raw)
+        r = _ByteCursor(buf)
+        if r.take(4) != b"RIFF":
+            raise WavFormatError("NotRiffFile")
+        r.skip(4)  # chunk size
+        if r.take(4) != b"WAVE":
+            raise WavFormatError("NotWaveFile")
+        # skip chunks until "fmt "
+        while True:
+            tag = r.take(4)
+            if tag == b"fmt ":
+                break
+            r.skip(r.take_u32le())
+        r.skip(4)  # fmt chunk size
+        codec = r.take_u16le()
+        if codec not in (1, 0xFFFE):
+            raise WavFormatError("UnsupportCodec")
+        channels = r.take_u16le()
+        sample_rate = r.take_u32le()
+        byte_rate = r.take_u32le()
+        block_align = r.take_u16le()
+        bit_depth = r.take_u16le()
+        if not (4 <= bit_depth <= 32):
+            raise WavFormatError("UnsupportBitDepth")
+        if channels == 0:
+            raise WavFormatError("UnsupportCodec")
+        bytes_per_sample = block_align // channels
+        if byte_rate != sample_rate * channels * bytes_per_sample:
+            raise WavFormatError("BitRateUnmatch")
+        if codec == 0xFFFE:  # PCM_EXTEND
+            r.skip(2)  # extension size
+            bit_depth = r.take_u16le()  # valid bits per sample
+            r.skip(4 + 16)  # channel mask + subformat
+        # skip chunks until "data"
+        while True:
+            try:
+                tag = r.take(4)
+            except EOFError as e:
+                raise WavFormatError("DataNotFound") from e
+            if tag == b"data":
+                break
+            r.skip(r.take_u32le())
+        data_len = r.take_u32le()
+        if block_align == 0 or data_len % block_align != 0:
+            raise WavFormatError("InvalidDataLen")
+        if bit_depth // 8 == 0:
+            # reference divides by (bit_depth/8): 4-bit input crashes there
+            # (src/WavReader.zig:170); we reject it cleanly.
+            raise WavFormatError("UnsupportBitDepth")
+        samples_count = data_len // (channels * (bit_depth // 8))
+        data = buf[r.pos : r.pos + data_len]
+        if len(data) < data_len:
+            raise WavFormatError("IncompleteStream")
+        return cls(
+            sample_rate=sample_rate,
+            bit_depth=bit_depth,
+            channels=channels,
+            bytes_per_sample=bytes_per_sample,
+            samples_count=samples_count,
+            data=data,
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "WavReader":
+        with open(path, "rb") as f:
+            return cls.from_bytes(f.read())
+
+    # -- capability envelope ------------------------------------------------
+
+    def flac_streaminfo(self, block_size: int) -> StreamInfo:
+        """FLAC-compatibility gate (src/WavReader.zig:97-111)."""
+        if (
+            self.bit_depth < 4
+            or self.bit_depth > 32
+            or self.channels == 0
+            or self.channels > 8
+            or self.sample_rate >= 1 << 20
+            or self.samples_count >= 1 << 36
+        ):
+            raise WavFormatError("flac does not support this wav format")
+        return StreamInfo(
+            sample_rate=self.sample_rate,
+            channels=self.channels,
+            bit_depth=self.bit_depth,
+            interchannel_samples=self.samples_count,
+            min_block_size=block_size,
+            max_block_size=block_size,
+        )
+
+    # -- planarize ----------------------------------------------------------
+
+    def planar_samples(self) -> np.ndarray:
+        """De-interleave + sign-extend to ``[channels, samples_count] int32``.
+
+        Vectorized equivalent of the reference's per-(channels x byte-width)
+        specialized loops (src/WavReader.zig:173-245), including:
+        * bytes placed little-endian into the TOP bytes of each i32,
+        * bytes_per_sample == 1: subtract ``128 >> (8 - bit_depth)`` from the
+          top-justified value BEFORE sign extension (quirk preserved,
+          src/WavReader.zig:74-81),
+        * bit_depth != 32: arithmetic shift right by ``32 - bit_depth``.
+        """
+        nb = self.bytes_per_sample
+        n = self.samples_count
+        c = self.channels
+        raw = np.frombuffer(self.data[: n * c * nb], dtype=np.uint8)
+        # [n, c, nb] little-endian bytes
+        b = raw.reshape(n, c, nb)
+        # top-justify: sample bytes occupy the most significant `nb` bytes
+        top = np.zeros((n, c, 4), dtype=np.uint8)
+        top[:, :, 4 - nb :] = b
+        samples = top.view("<u4").reshape(n, c).astype(np.uint32)
+        samples = samples.view(np.int32).T.copy()  # [c, n]
+        if nb == 1:
+            sub_amt = np.int32(128 >> (8 - self.bit_depth))
+            samples -= sub_amt
+        if self.bit_depth != 32:
+            samples >>= np.int32(32 - self.bit_depth)
+        return samples
+
+    def raw_pcm_bytes(self) -> memoryview:
+        """The exact byte stream the STREAMINFO MD5 covers
+        (src/WavReader.zig:69: MD5 is over raw interleaved LE bytes)."""
+        return self.data[: self.samples_count * self.channels * self.bytes_per_sample]
+
+
+class _ByteCursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: memoryview) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise EOFError("unexpected end of WAV")
+        out = bytes(self.buf[self.pos : self.pos + n])
+        self.pos += n
+        return out
+
+    def skip(self, n: int) -> None:
+        if self.pos + n > len(self.buf):
+            raise EOFError("unexpected end of WAV")
+        self.pos += n
+
+    def take_u16le(self) -> int:
+        return int.from_bytes(self.take(2), "little")
+
+    def take_u32le(self) -> int:
+        return int.from_bytes(self.take(4), "little")
+
+
+def write_wav(
+    path_or_buf,
+    samples: np.ndarray,
+    sample_rate: int,
+    bit_depth: int,
+) -> None:
+    """Minimal WAV writer for tests/benchmarks: planar [c, n] int32 in, PCM
+    little-endian out. Inverse of planar_samples for 8/16/24/32-bit."""
+    c, n = samples.shape
+    nb = (bit_depth + 7) // 8
+    interleaved = samples.T.astype(np.int64)  # [n, c]
+    if nb == 1:
+        interleaved = interleaved + 128  # unsigned 8-bit container
+    u = (interleaved & ((1 << (8 * nb)) - 1)).astype(np.uint64)
+    frame_bytes = np.zeros((n, c, 8), dtype=np.uint8)
+    frame_bytes[:] = u[..., None].view(np.uint8).reshape(n, c, 8)
+    data = frame_bytes[:, :, :nb].tobytes()
+    block_align = c * nb
+    byte_rate = sample_rate * block_align
+    hdr = io.BytesIO()
+    hdr.write(b"RIFF")
+    hdr.write((36 + len(data)).to_bytes(4, "little"))
+    hdr.write(b"WAVEfmt ")
+    hdr.write((16).to_bytes(4, "little"))
+    hdr.write((1).to_bytes(2, "little"))
+    hdr.write(c.to_bytes(2, "little"))
+    hdr.write(sample_rate.to_bytes(4, "little"))
+    hdr.write(byte_rate.to_bytes(4, "little"))
+    hdr.write(block_align.to_bytes(2, "little"))
+    hdr.write(bit_depth.to_bytes(2, "little"))
+    hdr.write(b"data")
+    hdr.write(len(data).to_bytes(4, "little"))
+    payload = hdr.getvalue() + data
+    if isinstance(path_or_buf, (str, bytes)):
+        with open(path_or_buf, "wb") as f:
+            f.write(payload)
+    else:
+        path_or_buf.write(payload)
