@@ -1,0 +1,78 @@
+"""Headline benchmark: end-to-end wav2flac throughput on the device backend.
+
+16-bit / 44.1 kHz stereo PCM -> FLAC (BASELINE.json config 1), measured as
+x-realtime of input audio encoded per wall-clock second, WAV bytes in ->
+valid FLAC bytes out (includes host WAV parse, MD5, and stream assembly).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 1000 — the driver-assigned north-star target is
+>1000x realtime on one chip (BASELINE.md; the reference publishes no
+numbers of its own).
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_wav_bytes(seconds: float, rate: int = 44100) -> bytes:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zigflac_tpu.wav import write_wav
+
+    rng = np.random.default_rng(0xBEEF)
+    n = int(seconds * rate)
+    t = np.arange(n)
+    base = 9000 * np.sin(2 * np.pi * 440 * t / rate) + 3000 * np.sin(
+        2 * np.pi * 97 * t / rate
+    )
+    noise = rng.normal(0, 120, size=(2, n))
+    x = np.stack([base + noise[0], 0.8 * base + noise[1]])
+    samples = np.clip(np.round(x), -32768, 32767).astype(np.int32)
+    buf = io.BytesIO()
+    write_wav(buf, samples, rate, 16)
+    return buf.getvalue()
+
+
+def main() -> None:
+    seconds = float(os.environ.get("BENCH_SECONDS", "120"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+
+    wav_bytes = make_wav_bytes(seconds)
+
+    # warmup: compile + first run
+    flac = encode_wav_bytes(wav_bytes, backend="device")
+    assert flac[:4] == b"fLaC"
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        flac = encode_wav_bytes(wav_bytes, backend="device")
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+
+    x_realtime = seconds / best
+    pcm_bytes = seconds * 44100 * 2 * 2
+    result = {
+        "metric": "wav2flac 16-bit/44.1kHz stereo encode speed (device backend, end-to-end)",
+        "value": round(x_realtime, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(x_realtime / 1000.0, 3),
+        "detail": {
+            "wall_s": round(best, 4),
+            "audio_s": seconds,
+            "input_MBps": round(pcm_bytes / best / 1e6, 1),
+            "flac_bytes": len(flac),
+            "ratio": round(len(flac) / len(wav_bytes), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""The central bit-exactness property: the device pipeline must produce
+byte-identical frames to the golden host oracle for every signal class,
+depth, and channel mode."""
+
+import numpy as np
+import pytest
+
+from zigflac_tpu import golden
+from zigflac_tpu.metadata import StreamInfo
+from zigflac_tpu.models.pipeline import DevicePipeline
+from zigflac_tpu.utils.config import EncoderConfig
+
+from conftest import make_signal
+
+KINDS = [
+    "silence", "constant", "sine", "noise", "ramp",
+    "quiet_noise", "mixed", "alternating", "extreme",
+]
+
+
+def run_both(samples, depth, rate=44100, config=None, block=None):
+    """Encode [C, n] via golden and device; return (golden frames, device frames)."""
+    cfg = config or EncoderConfig.default(samples.shape[0])
+    B = block or cfg.block_size
+    c, n = samples.shape
+    nf = n // B
+    assert nf * B == n
+    frames = samples[:, : nf * B].reshape(c, nf, B).transpose(1, 0, 2)
+    info = StreamInfo(rate, c, depth, n, B, B)
+    g = [
+        golden.encode_frame([frames[i, ch] for ch in range(c)], i, info, cfg)
+        for i in range(nf)
+    ]
+    pipe = DevicePipeline(cfg, depth, batch_size=max(nf, 1))
+    d = pipe.encode_frames(frames, 0, info)
+    return g, d
+
+
+def assert_identical(g, d):
+    assert len(g) == len(d)
+    for i, (a, b) in enumerate(zip(g, d)):
+        assert a == b, (
+            f"frame {i} differs: golden {len(a)}B vs device {len(b)}B; "
+            f"first diff at byte "
+            f"{next((j for j in range(min(len(a), len(b))) if a[j] != b[j]), 'len')}"
+        )
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_stereo_16bit(rng, kind):
+    samples = make_signal(rng, 4 * 4096, channels=2, depth=16, kind=kind)
+    g, d = run_both(samples, 16)
+    assert_identical(g, d)
+
+
+@pytest.mark.parametrize("kind", ["sine", "mixed", "noise", "quiet_noise"])
+def test_stereo_24bit(rng, kind):
+    samples = make_signal(rng, 2 * 4096, channels=2, depth=24, kind=kind)
+    g, d = run_both(samples, 24, rate=96000)
+    assert_identical(g, d)
+
+
+@pytest.mark.parametrize("kind", ["sine", "mixed", "extreme", "noise"])
+def test_stereo_32bit(rng, kind):
+    samples = make_signal(rng, 2 * 4096, channels=2, depth=32, kind=kind)
+    g, d = run_both(samples, 32)
+    assert_identical(g, d)
+
+
+def test_stereo_8bit(rng):
+    samples = make_signal(rng, 2 * 4096, channels=2, depth=8, kind="mixed")
+    # emulate the reference's 8-bit read quirk domain: values in [-1, 254]
+    g, d = run_both(samples, 8, rate=8000)
+    assert_identical(g, d)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 8])
+def test_multichannel(rng, channels):
+    samples = make_signal(rng, 2 * 4096, channels=channels, depth=16, kind="mixed")
+    g, d = run_both(samples, 16)
+    assert_identical(g, d)
+
+
+def test_mode_coverage(rng):
+    """Construct signals that force each stereo mode and check identity."""
+    n = 2 * 4096
+    base = make_signal(rng, n, channels=1, depth=16, kind="mixed")[0]
+    noise = make_signal(rng, n, channels=1, depth=16, kind="quiet_noise")[0]
+    cases = {
+        # nearly identical channels -> mid/side or left/side
+        "correlated": np.stack([base, base + noise // 4]),
+        # independent channels -> L/R
+        "independent": np.stack(
+            [base, make_signal(rng, n, channels=1, depth=16, kind="noise")[0]]
+        ),
+        # right silent -> side modes attractive
+        "right_silent": np.stack([base, np.zeros(n, np.int32)]),
+        "left_silent": np.stack([np.zeros(n, np.int32), base]),
+    }
+    for name, samples in cases.items():
+        g, d = run_both(samples.astype(np.int32), 16)
+        assert_identical(g, d)
+
+
+def test_escape_partitions(rng):
+    """All-zero partitions (perfect prediction) select the escape param."""
+    n = 2 * 4096
+    t = np.arange(n)
+    # piecewise: linear ramps (order-2-perfect) with noisy bursts
+    x = (t * 7 % 1000).astype(np.int32)
+    burst = make_signal(rng, n, channels=1, depth=16, kind="noise")[0]
+    x[1024:2048] = burst[1024:2048] // 2
+    samples = np.stack([x, x // 2]).astype(np.int32)
+    g, d = run_both(samples, 16)
+    assert_identical(g, d)
+
+
+def test_constant_frames(rng):
+    samples = np.full((2, 2 * 4096), -123, np.int32)
+    g, d = run_both(samples, 16)
+    assert_identical(g, d)
+
+
+def test_small_block_sizes(rng):
+    for B in [192, 256, 1000, 576]:
+        cfg = EncoderConfig(block_size=B, channels="stereo_auto")
+        samples = make_signal(rng, 2 * B, channels=2, depth=16, kind="mixed")
+        g, d = run_both(samples, 16, config=cfg, block=B)
+        assert_identical(g, d)
+
+
+def test_rice_4bit_method(rng):
+    cfg = EncoderConfig(max_rice_param=14)
+    samples = make_signal(rng, 2 * 4096, channels=2, depth=16, kind="mixed")
+    g, d = run_both(samples, 16, config=cfg)
+    assert_identical(g, d)
+
+
+def test_large_frame_numbers(rng):
+    """Frame numbers crossing UTF-8 length boundaries."""
+    cfg = EncoderConfig.default(2)
+    samples = make_signal(rng, 2 * 4096, channels=2, depth=16, kind="mixed")
+    frames = samples.reshape(2, 2, 4096).transpose(1, 0, 2)
+    info = StreamInfo(44100, 2, 16, 10**9, 4096, 4096)
+    for first in [126, 0x7FF, 0xFFFF, 2**20 - 1, 2**31]:
+        g = [
+            golden.encode_frame(
+                [frames[i, ch] for ch in range(2)], first + i, info, cfg
+            )
+            for i in range(2)
+        ]
+        pipe = DevicePipeline(cfg, 16, batch_size=2)
+        d = pipe.encode_frames(frames, first, info)
+        assert_identical(g, d)

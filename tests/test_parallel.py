@@ -1,0 +1,74 @@
+"""Multi-chip sharding: the encode step under shard_map on the virtual
+8-device CPU mesh must execute and produce frames byte-identical to the
+single-device pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zigflac_tpu.metadata import StreamInfo
+from zigflac_tpu.models.pipeline import DevicePipeline, _assemble_frames
+from zigflac_tpu.parallel.mesh import default_mesh, encode_step_sharded
+from zigflac_tpu.utils.config import EncoderConfig
+
+from conftest import make_signal
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    return default_mesh(jax.devices())
+
+
+def test_sharded_matches_single(rng, mesh):
+    B = 256
+    ndev = mesh.devices.size
+    nf = 2 * ndev
+    cfg = EncoderConfig(block_size=B, channels="stereo_auto")
+    samples = make_signal(rng, nf * B, channels=2, depth=16, kind="mixed")
+    frames = samples.reshape(2, nf, B).transpose(1, 0, 2)
+    info = StreamInfo(44100, 2, 16, nf * B, B, B)
+
+    words, total_bits, crcs, gmin, gmax = encode_step_sharded(
+        jnp.asarray(frames),
+        jnp.asarray(np.arange(nf, dtype=np.int64)),
+        cfg,
+        depth=16,
+        sample_rate=44100,
+        mesh=mesh,
+    )
+    sharded = _assemble_frames(
+        np.asarray(words), np.asarray(total_bits), np.asarray(crcs), nf
+    )
+
+    pipe = DevicePipeline(cfg, 16, batch_size=nf)
+    single = pipe.encode_frames(frames, 0, info)
+    assert sharded == single
+
+    sizes = np.array([len(b) for b in single])
+    assert int(gmin) == sizes.min()
+    assert int(gmax) == sizes.max()
+
+
+def test_graft_entry_compiles(mesh):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    words, total_bits, crcs = out
+    assert np.asarray(total_bits).min() > 0
+
+
+def test_graft_dryrun_multichip(mesh):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(len(jax.devices()), 8))

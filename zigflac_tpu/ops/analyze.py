@@ -1,0 +1,423 @@
+"""Batched frame analysis — the encoder's decision kernels as XLA ops.
+
+Everything the reference computes per frame in serial hot loops runs here as
+integer tensor ops over a ``[n_frames, n_planes, block_size]`` batch:
+
+* fixed-predictor order search: difference cascade + first-min argmin of
+  sum-of-abs residuals, wide-mode i32-overflow disqualification
+  (reference hot loop #1: libFLAC/fixed.zig:88-168)
+* residual computation via the binomial-coefficient form of the k-th
+  difference (reference hot loop #2: libFLAC/fixed.zig:27-74)
+* Rice parameter estimation: zigzag partition-sum pyramid + flake cost
+  sweep with exact u64 wrapping semantics, smallest-param /
+  largest-partition-order tie-breaks, selectable escape params
+  (reference hot loop #3: libFLAC/rice.zig:237-375)
+* Constant/Verbatim/Fixed selection with strict ``<`` and header-less
+  size accounting (libFLAC/Encoder.zig:320-376)
+
+All shapes are static; every decision is branch-free (select/where), so the
+whole analysis jits into one fused XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import EncoderConfig, MAX_FIXED_ORDER, MAX_RICE_PARAM_4BIT
+
+U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+# res_k[i] = sum_m BINOM[k][m] * s[i-m]  (k-th difference; matches the
+# predictor form of libFLAC/fixed.zig:9-15)
+BINOM = np.array(
+    [
+        [1, 0, 0, 0, 0],
+        [1, -1, 0, 0, 0],
+        [1, -2, 1, 0, 0],
+        [1, -3, 3, -1, 0],
+        [1, -4, 6, -4, 1],
+    ],
+    dtype=np.int64,
+)
+
+
+class PlaneAnalysis(NamedTuple):
+    """Per-plane decisions; leading dims match the input's batch dims."""
+
+    kind: jnp.ndarray        # i32: 0 constant, 1 verbatim, 2 fixed
+    est_bits: jnp.ndarray    # u64: header-less size estimate for mode argmin
+    order: jnp.ndarray       # i32: fixed predictor order 0..4
+    method: jnp.ndarray      # i32: 0 = 4-bit rice params, 1 = 5-bit
+    part_order: jnp.ndarray  # i32: rice partition order 0..8
+    params: jnp.ndarray      # u8 [..., 256]: rice param per partition
+    residuals: jnp.ndarray   # i32 [..., B]: first `order` slots are 0
+
+
+def _ilog2(v: int) -> int:
+    return v.bit_length() - 1
+
+
+def _ctz(v: int) -> int:
+    return (v & -v).bit_length() - 1
+
+
+def zigzag_u32(res: jnp.ndarray) -> jnp.ndarray:
+    """u32 zigzag with i32 wrapping shift (libFLAC/rice.zig:268-271)."""
+    r = res.astype(jnp.int32)
+    return (r.astype(jnp.uint32) << jnp.uint32(1)) ^ (r >> jnp.int32(31)).astype(
+        jnp.uint32
+    )
+
+
+def shift_right_zero(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """x shifted m positions along the last axis, zero-filled at the front."""
+    if m == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(m, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
+
+
+def best_fixed_order(planes: jnp.ndarray, wide: bool):
+    """(order i32, ok i1, totals u64[5]) per plane — first-min argmin of
+    sum-of-abs over the difference cascade; wide mode marks any order whose
+    residuals exceed i32 with u64::max and reports whether the winner is
+    usable (libFLAC/fixed.zig:88-168)."""
+    i32_max = jnp.uint64((1 << 31) - 1)
+    d = planes.astype(jnp.int64)
+    totals = []
+    oks = []
+    for k in range(MAX_FIXED_ORDER + 1):
+        a = jnp.abs(d).astype(jnp.uint64)
+        total = a.sum(axis=-1)
+        if wide:
+            overflow = jax.lax.reduce(
+                a, np.uint64(0), jax.lax.bitwise_or, (a.ndim - 1,)
+            ) > i32_max
+            total = jnp.where(overflow, U64_MAX, total)
+            oks.append(~overflow)
+        totals.append(total)
+        if k < MAX_FIXED_ORDER:
+            d = d[..., 1:] - d[..., :-1]
+    tstack = jnp.stack(totals)  # [5, ...]
+    order = jnp.argmin(tstack, axis=0).astype(jnp.int32)  # first-min
+    if wide:
+        best_total = jnp.take_along_axis(tstack, order[None].astype(jnp.int64), 0)[0]
+        ok = best_total != U64_MAX
+    else:
+        ok = jnp.ones(order.shape, dtype=bool)
+    return order, ok, tstack
+
+
+def residuals_for_order(planes: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """Residuals of the (per-plane dynamic) chosen order as i32, first
+    ``order`` slots zeroed. Computed as one pass with gathered binomial
+    coefficients instead of materializing all five cascades."""
+    B = planes.shape[-1]
+    coeffs = jnp.asarray(BINOM)[order]  # [..., 5]
+    wide_in = planes.dtype == jnp.int64
+    acc_dtype = jnp.int64 if wide_in else jnp.int32
+    acc = jnp.zeros(planes.shape, dtype=acc_dtype)
+    p = planes.astype(acc_dtype)
+    for m in range(MAX_FIXED_ORDER + 1):
+        c = coeffs[..., m].astype(acc_dtype)[..., None]
+        acc = acc + c * shift_right_zero(p, m)
+    idx = jax.lax.broadcasted_iota(jnp.int32, planes.shape, planes.ndim - 1)
+    acc = jnp.where(idx < order[..., None], 0, acc)
+    return acc.astype(jnp.int32)
+
+
+def rice_sums_pyramid(zz: jnp.ndarray, po_top: int) -> List[jnp.ndarray]:
+    """sums[po][p] = sum of zigzags in partition p at order po (u64). The
+    warmup slots are already zero in our residual arrays, which equals the
+    reference's explicit warmup subtraction (libFLAC/rice.zig:295-297)."""
+    B = zz.shape[-1]
+    z = zz.astype(jnp.uint64)
+    part = 1 << po_top
+    top = z.reshape(*z.shape[:-1], part, B >> po_top).sum(axis=-1)
+    sums = [None] * (po_top + 1)
+    sums[po_top] = top
+    for po in range(po_top - 1, -1, -1):
+        prev = sums[po + 1]
+        sums[po] = prev[..., 0::2] + prev[..., 1::2]
+    return sums
+
+
+def rice_estimate(
+    residuals: jnp.ndarray,
+    order: jnp.ndarray,
+    block_size: int,
+    max_rice_order: int,
+    max_param: int,
+):
+    """(bits u64, method i32, part_order i32, params u8[...,256]) — the flake
+    estimate with every reference tie-break (libFLAC/rice.zig:237-375):
+    per-partition cost = psize*(k+1) + ((sum -% psize/2) >> k) in wrapping
+    u64, smallest param wins cost ties, escape param (max_param+1) costs
+    psize*param, all-zero partitions cost 5, partition-order ties keep the
+    larger order, and the order is clamped by ctz(B) and the predictor
+    order's log2 limit."""
+    B = block_size
+    po_top = min(max_rice_order, _ctz(B))
+    K = max_param + 2  # sweep covers 0..max_param+1 (escape inclusive)
+
+    zz = zigzag_u32(residuals)
+    sums = rice_sums_pyramid(zz, po_top)
+
+    # dynamic per-plane partition-order clamp from the predictor order
+    L = _ilog2(B)
+    limit_by_order = np.array(
+        [15, L, L - 1, L - 1, L - 2], dtype=np.int32
+    )  # log2(B) - floor(log2(order)); order 0 -> 15 (rice.zig:76-80)
+    dyn_max_po = jnp.minimum(jnp.asarray(limit_by_order)[order], po_top)
+
+    totals = []
+    methods = []
+    params_padded = []
+    batch_shape = order.shape
+    for po in range(po_top + 1):
+        nparts = 1 << po
+        psz_full = B >> po
+        s = sums[po]  # [..., nparts] u64
+        first = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) == 0
+        psz = jnp.where(first, psz_full - order[..., None], psz_full).astype(
+            jnp.uint64
+        )
+        lhs = s - psz // jnp.uint64(2)  # wrapping u64 subtract
+
+        def sweep_body(k, carry):
+            bc_best, k_best = carry
+            bc = psz * (k.astype(jnp.uint64) + 1) + (lhs >> k.astype(jnp.uint64))
+            smaller = bc < bc_best
+            return jnp.minimum(bc, bc_best), jnp.where(smaller, k.astype(jnp.int32), k_best)
+
+        # derive the k=0 init from data so its sharding/varying axes match
+        # the body output under shard_map
+        init = (psz + lhs, (psz ^ psz).astype(jnp.int32))
+        best_bc, best_k = jax.lax.fori_loop(1, K, sweep_body, init)
+        esc = best_k == max_param + 1
+        best_bc = jnp.where(esc, psz * jnp.uint64(max_param + 1), best_bc)
+        zero = s == 0
+        best_k = jnp.where(zero, max_param + 1, best_k)
+        best_bc = jnp.where(zero, jnp.uint64(5), best_bc)
+
+        if max_param > MAX_RICE_PARAM_4BIT:
+            method = (best_k > MAX_RICE_PARAM_4BIT).any(axis=-1).astype(jnp.int32)
+        else:
+            method = jnp.zeros(batch_shape, jnp.int32)
+        total = best_bc.sum(axis=-1) + (method.astype(jnp.uint64) + 4) * jnp.uint64(
+            nparts
+        )
+        total = jnp.where(dyn_max_po >= po, total, U64_MAX)
+        totals.append(total)
+        methods.append(method)
+        pad = 256 - nparts
+        params_padded.append(
+            jnp.pad(best_k.astype(jnp.uint8), [(0, 0)] * order.ndim + [(0, pad)])
+        )
+
+    tstack = jnp.stack(totals)  # [PO+1, ...]
+    # ties keep the larger partition order (<= in rice.zig:258) -> last-min
+    best_po = (po_top - jnp.argmin(tstack[::-1], axis=0)).astype(jnp.int32)
+    sel = best_po[None].astype(jnp.int64)
+    bits = jnp.take_along_axis(tstack, sel, 0)[0]
+    method = jnp.take_along_axis(jnp.stack(methods), sel, 0)[0]
+    params = jnp.take_along_axis(
+        jnp.stack(params_padded), sel[..., None], 0
+    )[0]
+    return bits, method, best_po, params
+
+
+def analyze_planes(
+    planes: jnp.ndarray,
+    bits_of_t: int,
+    sample_size: int,
+    block_size: int,
+    config: EncoderConfig,
+) -> PlaneAnalysis:
+    """Full per-plane subframe decision (libFLAC/Encoder.zig:320-376).
+
+    ``planes``: [..., B] int32 (or int64 for the 32-bit-depth side channel).
+    ``bits_of_t``: 32 or 64 — the reference compares against
+    ``@bitSizeOf(SampleT)``, not the real encoded width.
+    ``sample_size``: the streaminfo bit depth (NOT +1 for side planes; the
+    reference passes the raw depth to chooseSubframeEncoding).
+    """
+    B = block_size
+    assert planes.shape[-1] == B
+    batch_shape = planes.shape[:-1]
+    wide = not (sample_size < 28 and bits_of_t == 32)
+
+    all_eq = (planes == planes[..., :1]).all(axis=-1)
+    verb_bits = jnp.uint64(B * bits_of_t)
+
+    if B <= MAX_FIXED_ORDER or config.prediction == "none":
+        kind = jnp.where(all_eq, 0, 1).astype(jnp.int32)
+        est = jnp.where(all_eq, jnp.uint64(bits_of_t), verb_bits)
+        z32 = jnp.zeros(batch_shape, jnp.int32)
+        return PlaneAnalysis(
+            kind=kind,
+            est_bits=est,
+            order=z32,
+            method=z32,
+            part_order=z32,
+            params=jnp.zeros(batch_shape + (256,), jnp.uint8),
+            residuals=jnp.zeros(batch_shape + (B,), jnp.int32),
+        )
+
+    order, ok, _totals = best_fixed_order(planes, wide)
+    residuals = residuals_for_order(planes, order)
+    max_param = min(
+        30 if sample_size > 16 else MAX_RICE_PARAM_4BIT, config.max_rice_param
+    )
+    rice_bits, method, part_order, params = rice_estimate(
+        residuals, order, B, config.max_rice_order, max_param
+    )
+
+    use_fixed = ok & (rice_bits < verb_bits) & ~all_eq
+    kind = jnp.where(all_eq, 0, jnp.where(use_fixed, 2, 1)).astype(jnp.int32)
+    est = jnp.where(
+        all_eq, jnp.uint64(bits_of_t), jnp.where(use_fixed, rice_bits, verb_bits)
+    )
+    return PlaneAnalysis(
+        kind=kind,
+        est_bits=est,
+        order=order,
+        method=method,
+        part_order=part_order,
+        params=params,
+        residuals=residuals,
+    )
+
+
+class FrameWirePlan(NamedTuple):
+    """Everything the packer needs, per frame, in wire-channel order.
+
+    Arrays are [N, n_wire, ...]; ``planes`` is int64 (covers the 33-bit side
+    channel), ``sample_size`` is per frame per wire channel (depth or
+    depth+1 for side planes).
+    """
+
+    channels_code: jnp.ndarray  # i32 [N]
+    kind: jnp.ndarray           # i32 [N, W]
+    order: jnp.ndarray
+    method: jnp.ndarray
+    part_order: jnp.ndarray
+    sample_size: jnp.ndarray    # i32 [N, W]
+    params: jnp.ndarray         # u8 [N, W, 256]
+    planes: jnp.ndarray         # i64 [N, W, B]
+    residuals: jnp.ndarray      # i32 [N, W, B]
+
+
+def plan_frames_indep(
+    frames: jnp.ndarray, depth: int, config: EncoderConfig
+) -> FrameWirePlan:
+    """Independent channels: each analyzed and written as-is
+    (libFLAC/Encoder.zig:242-247)."""
+    n, c, B = frames.shape
+    a = analyze_planes(frames, 32, depth, B, config)
+    return FrameWirePlan(
+        channels_code=jnp.full((n,), c - 1, jnp.int32),
+        kind=a.kind,
+        order=a.order,
+        method=a.method,
+        part_order=a.part_order,
+        sample_size=jnp.full((n, c), depth, jnp.int32),
+        params=a.params,
+        planes=frames.astype(jnp.int64),
+        residuals=a.residuals,
+    )
+
+
+def plan_frames_stereo(
+    frames: jnp.ndarray, depth: int, config: EncoderConfig
+) -> FrameWirePlan:
+    """stereo_auto: build L/R/M/S planes, analyze all four, pick the mode
+    with the first-min of {L+R, L+S, S+R, M+S}, and emit the two wire
+    channels (libFLAC/Encoder.zig:248-314)."""
+    n, c, B = frames.shape
+    assert c == 2
+    left = frames[:, 0]
+    right = frames[:, 1]
+    l64 = left.astype(jnp.int64)
+    r64 = right.astype(jnp.int64)
+    mid = ((l64 + r64) >> 1).astype(jnp.int32)
+    side64 = l64 - r64
+
+    if depth == 32:
+        lrm = jnp.stack([left, right, mid], axis=1)  # [n, 3, B] i32
+        a3 = analyze_planes(lrm, 32, depth, B, config)
+        a_s = analyze_planes(side64, 64, depth, B, config)
+        est = jnp.concatenate([a3.est_bits, a_s.est_bits[:, None]], axis=1)
+        kind = jnp.concatenate([a3.kind, a_s.kind[:, None]], axis=1)
+        order = jnp.concatenate([a3.order, a_s.order[:, None]], axis=1)
+        method = jnp.concatenate([a3.method, a_s.method[:, None]], axis=1)
+        part_order = jnp.concatenate(
+            [a3.part_order, a_s.part_order[:, None]], axis=1
+        )
+        params = jnp.concatenate([a3.params, a_s.params[:, None]], axis=1)
+        residuals = jnp.concatenate(
+            [a3.residuals, a_s.residuals[:, None]], axis=1
+        )
+        planes64 = jnp.concatenate(
+            [lrm.astype(jnp.int64), side64[:, None]], axis=1
+        )  # [n, 4, B]
+    else:
+        side = side64.astype(jnp.int32)
+        lrms = jnp.stack([left, right, mid, side], axis=1)  # [n, 4, B]
+        a = analyze_planes(lrms, 32, depth, B, config)
+        est, kind, order, method = a.est_bits, a.kind, a.order, a.method
+        part_order, params, residuals = a.part_order, a.params, a.residuals
+        planes64 = lrms.astype(jnp.int64)
+
+    # mode sums in plane order [L, R, M, S] = indices 0,1,2,3
+    sums = jnp.stack(
+        [
+            est[:, 0] + est[:, 1],  # Indep
+            est[:, 0] + est[:, 3],  # LeftSide
+            est[:, 3] + est[:, 1],  # SideRight
+            est[:, 2] + est[:, 3],  # MidSide
+        ],
+        axis=1,
+    )
+    ch_type = jnp.argmin(sums, axis=1).astype(jnp.int32)  # first-min
+
+    # wire-channel plane indices per mode (L,R,M,S = 0,1,2,3):
+    wire0_tbl = jnp.asarray(np.array([0, 0, 3, 2], np.int32))
+    wire1_tbl = jnp.asarray(np.array([1, 3, 1, 3], np.int32))
+    w0 = wire0_tbl[ch_type]
+    w1 = wire1_tbl[ch_type]
+    wsel = jnp.stack([w0, w1], axis=1)  # [n, 2]
+
+    def gather_ch(x):
+        idx = wsel.reshape(n, 2, *([1] * (x.ndim - 2))).astype(jnp.int64)
+        return jnp.take_along_axis(x, jnp.broadcast_to(idx, (n, 2) + x.shape[2:]), 1)
+
+    # side sits at wire 0 for SideRight, wire 1 for LeftSide/MidSide; the
+    # side channel is written with depth+1 bits (libFLAC/Encoder.zig:203-206)
+    ss0 = depth + (ch_type == 2).astype(jnp.int32)
+    ss1 = depth + ((ch_type == 1) | (ch_type == 3)).astype(jnp.int32)
+
+    return FrameWirePlan(
+        channels_code=jnp.where(ch_type == 0, 1, ch_type + 7).astype(jnp.int32),
+        kind=gather_ch(kind),
+        order=gather_ch(order),
+        method=gather_ch(method),
+        part_order=gather_ch(part_order),
+        sample_size=jnp.stack([ss0, ss1], axis=1),
+        params=gather_ch(params),
+        planes=gather_ch(planes64),
+        residuals=gather_ch(residuals),
+    )
+
+
+def plan_frames(
+    frames: jnp.ndarray, depth: int, config: EncoderConfig
+) -> FrameWirePlan:
+    if config.stereo_auto:
+        return plan_frames_stereo(frames, depth, config)
+    return plan_frames_indep(frames, depth, config)

@@ -1,0 +1,291 @@
+"""Device bitstream packing: prefix-sum bit offsets + segment-sum deposits.
+
+The reference packs bits serially through a u64 buffer
+(libFLAC/FrameWriter.zig:36-114). Here the whole frame becomes one static
+symbol tensor: every field of the frame (header bytes, subframe headers,
+warmup samples, Rice params, every residual code) is one symbol with
+
+    nb  — total field width in bits (a Rice code's width includes its
+          unary quotient run),
+    val — the deposited value, right-aligned in the field (the quotient's
+          zeros and the 1-terminator + remainder are ``(1<<k) | rem`` at the
+          field's end),
+    nbv — the deposited value's width (<= 33 bits).
+
+An exclusive prefix-sum of ``nb`` gives every symbol's bit offset; each
+deposit spans at most two 32-bit words via one u64 shift, and two sorted
+segment-sums OR the deposits into the output words (disjoint bit ranges make
+add == or). Masked-off symbols have nb = 0 and deposit nothing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .analyze import FrameWirePlan, zigzag_u32
+from .header import HeaderStatic, build_headers, MAX_HEADER_BYTES
+from ..utils.config import MAX_FIXED_ORDER
+
+
+class SymbolBlock(NamedTuple):
+    nb: jnp.ndarray   # i32 [N, S] total field bits
+    val: jnp.ndarray  # u64 [N, S] deposited value (right-aligned)
+    nbv: jnp.ndarray  # i32 [N, S] deposited bits
+
+
+def _u64(x) -> jnp.ndarray:
+    return x.astype(jnp.uint64)
+
+
+def _mask_u64(nbits: jnp.ndarray) -> jnp.ndarray:
+    """(1 << nbits) - 1 as u64, valid for nbits in [0, 63]."""
+    return (jnp.uint64(1) << _u64(nbits)) - jnp.uint64(1)
+
+
+def _or_pyramid(x: jnp.ndarray, po_top: int):
+    """levels[po][p] = OR of x over partition p at order po (int32 in/out)."""
+    B = x.shape[-1]
+    part = 1 << po_top
+    top = jax.lax.reduce(
+        x.reshape(*x.shape[:-1], part, B >> po_top),
+        np.int32(0),
+        jax.lax.bitwise_or,
+        (x.ndim,),
+    )
+    levels = [None] * (po_top + 1)
+    levels[po_top] = top
+    for po in range(po_top - 1, -1, -1):
+        prev = levels[po + 1]
+        levels[po] = prev[..., 0::2] | prev[..., 1::2]
+    return levels
+
+
+def _pad256(x: jnp.ndarray) -> jnp.ndarray:
+    pad = 256 - x.shape[-1]
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def channel_symbols(
+    kind: jnp.ndarray,        # i32 [N]
+    order: jnp.ndarray,       # i32 [N]
+    method: jnp.ndarray,      # i32 [N]
+    part_order: jnp.ndarray,  # i32 [N]
+    sample_size: jnp.ndarray, # i32 [N]
+    params: jnp.ndarray,      # u8 [N, 256]
+    plane: jnp.ndarray,       # i64 [N, B]
+    residuals: jnp.ndarray,   # i32 [N, B]
+    block_size: int,
+    max_rice_order: int,
+) -> SymbolBlock:
+    """Symbols of one subframe: header byte, warmup, method/part-order,
+    per-partition params (with escape bits-per-sample), per-residual codes
+    (reference serializers: FrameWriter.zig:251-361)."""
+    n, B = plane.shape
+    is_const = kind == 0
+    is_verb = kind == 1
+    is_fixed = kind == 2
+    ss = sample_size
+
+    # -- subframe header byte --
+    hdr_val = jnp.where(
+        is_const, 0, jnp.where(is_verb, 1 << 1, (8 | order) << 1)
+    )
+    hdr = SymbolBlock(
+        nb=jnp.full((n, 1), 8, jnp.int32),
+        val=_u64(hdr_val)[:, None],
+        nbv=jnp.full((n, 1), 8, jnp.int32),
+    )
+
+    # -- warmup samples (fixed only) --
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, (n, MAX_FIXED_ORDER), 1)
+    w_active = is_fixed[:, None] & (w_idx < order[:, None])
+    w_nb = jnp.where(w_active, ss[:, None], 0)
+    w_val = _u64(plane[:, :MAX_FIXED_ORDER]) & _mask_u64(w_nb)
+    warm = SymbolBlock(nb=w_nb, val=jnp.where(w_active, w_val, 0), nbv=w_nb)
+
+    # -- method(2) + partition order(4) --
+    m_nb = jnp.where(is_fixed, 6, 0)[:, None]
+    m_val = _u64((method << 4) | part_order)[:, None] & _mask_u64(m_nb)
+    meth = SymbolBlock(nb=m_nb, val=jnp.where(m_nb > 0, m_val, 0), nbv=m_nb)
+
+    # -- per-partition escape analysis --
+    po_top = min(max_rice_order, (B & -B).bit_length() - 1)
+    posmag = residuals ^ (residuals >> np.int32(31))  # |r| encoded positive
+    pos_levels = _or_pyramid(posmag, po_top)
+    or_levels = _or_pyramid(residuals, po_top)
+    pos_stack = jnp.stack([_pad256(x) for x in pos_levels])  # [PO+1, N, 256]
+    or_stack = jnp.stack([_pad256(x) for x in or_levels])
+    sel = part_order[None, :, None].astype(jnp.int64)
+    res_max = jnp.take_along_axis(pos_stack, sel, 0)[0]  # [N, 256]
+    or_all = jnp.take_along_axis(or_stack, sel, 0)[0]
+    bps = jnp.where(
+        or_all == 0,
+        0,
+        jnp.where(res_max == 0, 1, (32 - jax.lax.clz(res_max)) + 1),
+    ).astype(jnp.int32)
+
+    # -- interleaved partition-param + residual symbols --
+    # On the wire each partition's param immediately precedes its residuals
+    # (FrameWriter.zig:304-349), so each residual slot i carries TWO symbol
+    # slots: a param slot (active only at partition starts) and the residual
+    # itself. Partition 0's param lands at slot 0, before the zero-width
+    # masked warmup residual slots — same stream order as the reference.
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
+    psz_full = (B >> part_order)[:, None]  # [N, 1]
+    r_part = r_idx // psz_full
+
+    param_len = (4 + method)[:, None]  # [N, 1]
+    escape_code = ((1 << (4 + method)) - 1)[:, None]
+    params_i = params.astype(jnp.int32)
+    is_esc256 = params_i == escape_code
+    fallback256 = is_esc256 & (bps >= 32)
+    esc_live256 = is_esc256 & ~fallback256
+    eff_param256 = jnp.where(fallback256, 30, params_i)
+
+    pg = r_part.astype(jnp.int64)
+    param_i = jnp.take_along_axis(params_i, pg, 1)
+    k = jnp.take_along_axis(eff_param256, pg, 1)
+    r_esc = jnp.take_along_axis(esc_live256, pg, 1)
+    r_fallback = jnp.take_along_axis(fallback256, pg, 1)
+    r_bps = jnp.take_along_axis(bps, pg, 1)
+
+    p_slot = is_fixed[:, None] & (r_idx % psz_full == 0)
+    p_nb = jnp.where(p_slot, jnp.where(r_esc, param_len + 5, param_len), 0)
+    p_val = jnp.where(
+        r_esc, (param_i << 5) | r_bps, jnp.where(r_fallback, 30, param_i)
+    )
+    p_sym = SymbolBlock(
+        nb=p_nb, val=jnp.where(p_slot, _u64(p_val), 0), nbv=p_nb
+    )
+
+    zz = _u64(zigzag_u32(residuals))
+    rice_nb = (zz >> _u64(k)).astype(jnp.int64) + _u64(k).astype(jnp.int64) + 1
+    rice_nb = rice_nb.astype(jnp.int32)
+    rice_val = (jnp.uint64(1) << _u64(k)) | (zz & _mask_u64(k))
+    esc_val = _u64(residuals) & _mask_u64(r_bps)
+
+    r_active = is_fixed[:, None] & (r_idx >= order[:, None])
+    fx_nb = jnp.where(r_active, jnp.where(r_esc, r_bps, rice_nb), 0)
+    fx_nbv = jnp.where(r_active, jnp.where(r_esc, r_bps, k + 1), 0)
+    fx_val = jnp.where(r_active, jnp.where(r_esc, esc_val, rice_val), 0)
+
+    vb_nb = jnp.broadcast_to(ss[:, None], (n, B))
+    vb_val = _u64(plane) & _mask_u64(vb_nb)
+    ct_nb = jnp.where(r_idx == 0, ss[:, None], 0)
+    ct_val = jnp.where(r_idx == 0, _u64(plane) & _mask_u64(ss)[:, None], 0)
+
+    s_nb = jnp.where(is_verb[:, None], vb_nb, jnp.where(is_const[:, None], ct_nb, fx_nb))
+    s_nbv = jnp.where(is_verb[:, None], vb_nb, jnp.where(is_const[:, None], ct_nb, fx_nbv))
+    s_val = jnp.where(is_verb[:, None], vb_val, jnp.where(is_const[:, None], ct_val, fx_val))
+
+    # interleave [param_i, residual_i] -> [N, 2B]
+    inter_nb = jnp.stack([p_sym.nb, s_nb], axis=2).reshape(n, 2 * B)
+    inter_val = jnp.stack([p_sym.val, s_val], axis=2).reshape(n, 2 * B)
+    inter_nbv = jnp.stack([p_sym.nbv, s_nbv], axis=2).reshape(n, 2 * B)
+
+    return SymbolBlock(
+        nb=jnp.concatenate([hdr.nb, warm.nb, meth.nb, inter_nb], axis=1),
+        val=jnp.concatenate([hdr.val, warm.val, meth.val, inter_val], axis=1),
+        nbv=jnp.concatenate([hdr.nbv, warm.nbv, meth.nbv, inter_nbv], axis=1),
+    )
+
+
+def pack_symbols(
+    sym: SymbolBlock, max_words: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(words u32 [N, W] MSB-first, total_bits i32 [N]).
+
+    Exclusive prefix-sum over field widths -> per-symbol deposit start; each
+    deposit becomes (hi, lo) u32 contributions to words w0, w0+1 via one u64
+    shift; two sorted segment-sums accumulate them (disjoint bits => add==or).
+    """
+    n, s = sym.nb.shape
+    cum = jnp.cumsum(sym.nb, axis=1, dtype=jnp.int32)
+    total_bits = cum[:, -1]
+    o_end = cum  # field end offsets
+    d_start = o_end - sym.nbv  # deposit start (value is right-aligned)
+
+    w0 = (d_start >> 5).astype(jnp.int32)
+    r = (d_start & 31).astype(jnp.int32)
+    shift = 64 - r - sym.nbv
+    shifted = jnp.where(
+        sym.nbv > 0, sym.val << _u64(jnp.clip(shift, 0, 63)), jnp.uint64(0)
+    )
+    hi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    num_segments = max_words + 1
+
+    def pack_one(ids0, hi_v, lo_v):
+        a = jax.ops.segment_sum(
+            hi_v, ids0, num_segments=num_segments, indices_are_sorted=True
+        )
+        b = jax.ops.segment_sum(
+            lo_v, ids0 + 1, num_segments=num_segments, indices_are_sorted=True
+        )
+        return (a + b)[:max_words]
+
+    words = jax.vmap(pack_one)(w0, hi, lo)
+    return words.astype(jnp.uint32), total_bits
+
+
+def header_symbols(
+    header_bytes: jnp.ndarray, header_len: jnp.ndarray
+) -> SymbolBlock:
+    n = header_bytes.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, MAX_HEADER_BYTES), 1)
+    active = idx < header_len[:, None]
+    nb = jnp.where(active, 8, 0)
+    return SymbolBlock(
+        nb=nb, val=jnp.where(active, _u64(header_bytes), 0), nbv=nb
+    )
+
+
+def pack_frames(
+    plan: FrameWirePlan,
+    frame_numbers: jnp.ndarray,
+    hstatic: HeaderStatic,
+    block_size: int,
+    max_rice_order: int,
+    max_words: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full frames (header + subframes) -> (words u32 [N, W], total_bits)."""
+    hb, hlen = build_headers(frame_numbers, plan.channels_code, hstatic)
+    blocks = [header_symbols(hb, hlen)]
+    n_wire = plan.kind.shape[1]
+    for c in range(n_wire):
+        blocks.append(
+            channel_symbols(
+                plan.kind[:, c],
+                plan.order[:, c],
+                plan.method[:, c],
+                plan.part_order[:, c],
+                plan.sample_size[:, c],
+                plan.params[:, c],
+                plan.planes[:, c],
+                plan.residuals[:, c],
+                block_size,
+                max_rice_order,
+            )
+        )
+    sym = SymbolBlock(
+        nb=jnp.concatenate([b.nb for b in blocks], axis=1),
+        val=jnp.concatenate([b.val for b in blocks], axis=1),
+        nbv=jnp.concatenate([b.nbv for b in blocks], axis=1),
+    )
+    return pack_symbols(sym, max_words)
+
+
+def max_frame_words(block_size: int, n_wire: int, depth: int) -> int:
+    """Static per-frame word capacity. Actual Rice bits can exceed the
+    flake estimate by at most ~part_size/2 per partition (the estimate is a
+    truncated mean), so estimate < verbatim(bits_of_t * B) implies actual
+    < (bits_of_t + 5) * B + headers; sized with margin on top of that."""
+    bits_of_t = 64 if depth == 32 else 32
+    per_ch = 8 + 4 * 34 + 6 + 256 * 10 + block_size * (bits_of_t + 6)
+    total_bits = MAX_HEADER_BYTES * 8 + n_wire * per_ch + 64
+    return (total_bits + 31) // 32

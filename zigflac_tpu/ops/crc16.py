@@ -1,0 +1,72 @@
+"""Parallel CRC-16/UMTS over packed frame words — the TPU replacement for
+the reference's serial PCLMULQDQ folding (libFLAC/Crc16.zig).
+
+CRC is GF(2)-linear: CRC(M) = sum_i b_i(x) * x^(8*(L-1-i)+16) mod G. Over
+the *fixed-width* padded word buffer every byte position has a static
+distance-from-end, so the per-byte multiplier is a compile-time constant
+vector — no gathers in the hot path. The CRC of the real (shorter) frame
+follows by multiplying with x^(-8*pad) mod G (x is invertible mod G since G
+has a constant term), one 16x16 GF(2) multiply per frame.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..crc import CRC16_POLY, reduce24_table, xpow_neg8_table, xpow_shift_table
+
+
+@lru_cache(maxsize=16)
+def _static_tables(max_bytes: int):
+    t1 = xpow_shift_table(max_bytes)      # x^(8e+16) mod G for e = dist-from-end
+    inv = xpow_neg8_table(max_bytes)      # x^(-8k) mod G
+    r24 = reduce24_table()                # top-8-bit reduction
+    return t1, inv, r24
+
+
+def _gf2_mulmod16_vec(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized (a * b) mod G over GF(2) for 16-bit operands (u32 in/out)."""
+    acc = jnp.zeros_like(a)
+    for i in range(16):
+        acc = acc ^ jnp.where((b >> i) & 1 == 1, a << i, 0)
+    for i in range(30, 15, -1):
+        acc = jnp.where((acc >> i) & 1 == 1, acc ^ (CRC16_POLY << (i - 16)), acc)
+    return acc
+
+
+def crc16_words(words: jnp.ndarray, byte_len: jnp.ndarray) -> jnp.ndarray:
+    """CRC-16/UMTS of the first ``byte_len`` bytes of each frame.
+
+    ``words``: u32 [N, W], MSB-first bitstream (byte j = bits 8j..8j+8 of the
+    stream); bytes at and beyond ``byte_len`` must be zero.
+    Returns u32 [N] CRCs.
+    """
+    n, w = words.shape
+    max_bytes = w * 4
+    t1_np, inv_np, r24_np = _static_tables(max_bytes)
+
+    # bytes [N, W, 4]: byte 0 of each word is its most significant byte
+    shifts = jnp.asarray(np.array([24, 16, 8, 0], np.uint32))
+    b = (words[..., None] >> shifts) & jnp.uint32(0xFF)  # [N, W, 4] u32
+    b = b.reshape(n, max_bytes)
+
+    # contribution of byte j: clmul8x16(b_j, t1[maxB-1-j]) reduced mod G
+    t = jnp.asarray(t1_np[::-1].astype(np.uint32))  # [maxB], position-indexed
+    p = jnp.zeros((n, max_bytes), jnp.uint32)
+    for i in range(8):
+        p = p ^ jnp.where((b >> i) & 1 == 1, t << i, 0)
+    contrib = (p & jnp.uint32(0xFFFF)) ^ jnp.asarray(r24_np.astype(np.uint32))[
+        (p >> 16).astype(jnp.int64)
+    ]
+    crc_full = jax.lax.reduce(
+        contrib, np.uint32(0), jax.lax.bitwise_xor, (1,)
+    )
+
+    # cancel the zero padding: multiply by x^(-8 * (maxB - L)) mod G
+    pad = (max_bytes - byte_len).astype(jnp.int64)
+    inv = jnp.asarray(inv_np.astype(np.uint32))[pad]
+    return _gf2_mulmod16_vec(crc_full, inv)

@@ -1,0 +1,106 @@
+"""Multi-chip scaling: frame-axis data parallelism over a device mesh.
+
+The reference is single-threaded with no communication backend (SURVEY.md §2
+checklist); the TPU-native equivalent is SPMD over a ``jax.sharding.Mesh``
+with the frame batch sharded across chips. Frames are independent, so the
+only cross-shard traffic is the STREAMINFO min/max frame-size reduction
+(here: ``lax.pmin``/``lax.pmax`` over the mesh axis, riding ICI) and the
+final gather of packed bytes (left sharded; the host assembles per shard).
+
+``encode_step_sharded`` is the full per-step program — plane construction,
+subframe/stereo decisions, Rice search, bit packing, CRC — run under
+``shard_map`` so XLA sees one SPMD program per chip.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils.config import EncoderConfig
+from ..ops.bitpack import max_frame_words, pack_frames
+from ..ops.crc16 import crc16_words
+from ..ops.header import header_static
+from ..ops.analyze import plan_frames
+
+FRAME_AXIS = "frames"
+
+
+def default_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (FRAME_AXIS,))
+
+
+def _encode_shard(
+    frames, frame_numbers, *, config, depth, hstatic, block_size, max_words
+):
+    """Per-shard encode (runs on each chip over its local frames)."""
+    plan = plan_frames(frames, depth, config)
+    words, total_bits = pack_frames(
+        plan, frame_numbers, hstatic, block_size, config.max_rice_order, max_words
+    )
+    byte_len = (total_bits + 7) >> 3
+    crcs = crc16_words(words, byte_len)
+    frame_bytes = byte_len + 2  # + CRC-16 footer
+    # STREAMINFO frame-size bounds: the only cross-shard reduction
+    local_min = frame_bytes.min()
+    local_max = frame_bytes.max()
+    gmin = jax.lax.pmin(local_min, FRAME_AXIS)
+    gmax = jax.lax.pmax(local_max, FRAME_AXIS)
+    return words, total_bits, crcs, gmin, gmax
+
+
+@lru_cache(maxsize=16)
+def _sharded_fn(config: EncoderConfig, depth: int, c: int, block_size: int,
+                sample_rate: int, mesh_key):
+    mesh = _MESHES[mesh_key]
+    hstatic = header_static(block_size, sample_rate, depth)
+    n_wire = 2 if config.stereo_auto else c
+    max_words = max_frame_words(block_size, n_wire, depth)
+    fn = partial(
+        _encode_shard,
+        config=config,
+        depth=depth,
+        hstatic=hstatic,
+        block_size=block_size,
+        max_words=max_words,
+    )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+_MESHES = {}
+
+
+def encode_step_sharded(
+    frames: jnp.ndarray,
+    frame_numbers: jnp.ndarray,
+    config: EncoderConfig,
+    depth: int,
+    sample_rate: int,
+    mesh: Mesh | None = None,
+):
+    """Run the full encode step SPMD over the mesh.
+
+    ``frames``: [N, C, B] int32 with N divisible by the mesh size.
+    Returns (words, total_bits, crcs, min_frame_bytes, max_frame_bytes).
+    """
+    mesh = mesh or default_mesh()
+    mesh_key = tuple(d.id for d in mesh.devices.flat)
+    _MESHES[mesh_key] = mesh
+    n, c, B = frames.shape
+    if n % mesh.devices.size != 0:
+        raise ValueError(
+            f"frame count {n} not divisible by mesh size {mesh.devices.size}"
+        )
+    fn = _sharded_fn(config, depth, c, B, sample_rate, mesh_key)
+    return fn(frames, frame_numbers)
