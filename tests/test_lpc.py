@@ -1,0 +1,79 @@
+"""LPC subframes (BASELINE config 3): quantization properties, round-trip
+losslessness, device==golden byte identity, and compression benefit on
+tonal signals."""
+
+import io
+
+import numpy as np
+import pytest
+
+from zigflac_tpu.decoder import decode_flac
+from zigflac_tpu.models.encoder import encode_wav_bytes
+from zigflac_tpu.utils.config import EncoderConfig
+from zigflac_tpu.wav import write_wav
+
+from conftest import make_signal
+from test_device_vs_golden import run_both, assert_identical
+
+
+def lpc_cfg(**kw):
+    kw.setdefault("prediction", "lpc")
+    kw.setdefault("lpc_order", 8)
+    return EncoderConfig(**kw)
+
+
+def test_lpc_roundtrip(rng):
+    samples = make_signal(rng, 3 * 4096 + 100, channels=2, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    flac = encode_wav_bytes(buf.getvalue(), config=lpc_cfg(), backend="golden")
+    dec = decode_flac(flac)
+    np.testing.assert_array_equal(dec.samples, samples.astype(np.int64))
+    assert dec.md5_ok
+
+
+def test_lpc_beats_fixed_on_tonal(rng):
+    samples = make_signal(rng, 8 * 4096, channels=2, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    wav_bytes = buf.getvalue()
+    fixed = encode_wav_bytes(wav_bytes, backend="golden")
+    lpc = encode_wav_bytes(wav_bytes, config=lpc_cfg(), backend="golden")
+    assert len(lpc) < len(fixed), (len(lpc), len(fixed))
+
+
+@pytest.mark.parametrize("kind", ["sine", "mixed", "quiet_noise"])
+def test_lpc_device_vs_golden(rng, kind):
+    samples = make_signal(rng, 2 * 1024, channels=2, depth=16, kind=kind)
+    cfg = lpc_cfg(block_size=1024)
+    g, d = run_both(samples, 16, config=cfg, block=1024)
+    assert_identical(g, d)
+
+
+def test_lpc_24bit_device_vs_golden(rng):
+    samples = make_signal(rng, 2 * 1024, channels=2, depth=24, kind="sine")
+    cfg = lpc_cfg(block_size=1024)
+    g, d = run_both(samples, 24, rate=96000, config=cfg, block=1024)
+    assert_identical(g, d)
+
+
+def test_lpc_high_order_roundtrip(rng):
+    samples = make_signal(rng, 2 * 4096, channels=2, depth=16, kind="sine")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    flac = encode_wav_bytes(
+        buf.getvalue(), config=lpc_cfg(lpc_order=12), backend="golden"
+    )
+    dec = decode_flac(flac)
+    np.testing.assert_array_equal(dec.samples, samples.astype(np.int64))
+
+
+def test_lpc_noise_falls_back(rng):
+    """On white noise LPC shouldn't blow up the stream vs fixed."""
+    samples = make_signal(rng, 2 * 4096, channels=2, depth=16, kind="noise")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    wav_bytes = buf.getvalue()
+    fixed = encode_wav_bytes(wav_bytes, backend="golden")
+    lpc = encode_wav_bytes(wav_bytes, config=lpc_cfg(), backend="golden")
+    assert len(lpc) <= len(fixed) * 1.02

@@ -22,12 +22,26 @@ Public API mirrors the reference's ``libFLAC`` module surface:
 CLI (``python -m zigflac_tpu.cli``).
 """
 
+import os as _os
+
 import jax as _jax
 
 # The 32-bit-depth side channel is 33-bit signed (libFLAC/Encoder.zig:50,95-100)
 # and the Rice cost sweep uses u64 wrapping arithmetic (libFLAC/rice.zig:344-375);
 # both need x64 mode. Hot kernels stay in 32-bit dtypes explicitly.
 _jax.config.update("jax_enable_x64", True)
+
+# Persist compiled executables across processes — encode programs are large
+# and TPU compiles are expensive; the cache makes CLI/bench start warm.
+_cache_dir = _os.environ.get(
+    "ZIGFLAC_TPU_CACHE", _os.path.expanduser("~/.cache/zigflac_tpu_xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization only
+    pass
 
 from .metadata import StreamInfo, BlockType  # noqa: E402
 from .utils.config import EncoderConfig  # noqa: E402

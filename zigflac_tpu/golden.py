@@ -227,11 +227,14 @@ def _ctz(v: int) -> int:
 
 @dataclass
 class SubframeChoice:
-    kind: str  # "constant" | "verbatim" | "fixed"
+    kind: str  # "constant" | "verbatim" | "fixed" | "lpc"
     est_bits: int
     order: int = 0
     rice: Optional[RiceConfig] = None
     residuals: Optional[np.ndarray] = None
+    qcoeffs: Optional[np.ndarray] = None
+    qshift: int = 0
+    precision: int = 0
 
 
 def choose_subframe(
@@ -248,19 +251,48 @@ def choose_subframe(
 
     verbatim_bits = n * bits_of_t
     choice = SubframeChoice("verbatim", verbatim_bits)
-    if n <= MAX_FIXED_ORDER or config.prediction == "none":
+    lpc_order = config.lpc_order if config.prediction == "lpc" else 0
+    if n <= max(MAX_FIXED_ORDER, lpc_order) or config.prediction == "none":
         return choice
 
     wide = not (sample_size < 28 and bits_of_t == 32)
     order = fixed_best_order(plane, wide)
     if order is None:
-        return choice
-    residuals = fixed_residuals(plane, order)
-    fixed_bits, rice_cfg = rice_calc_params(
-        residuals, config.max_rice_order, config.max_rice_param, sample_size, order
-    )
-    if fixed_bits < verbatim_bits:  # strict <
-        return SubframeChoice("fixed", fixed_bits, order, rice_cfg, residuals)
+        fixed_bits, rice_cfg, residuals = U64, None, None
+    else:
+        residuals = fixed_residuals(plane, order)
+        fixed_bits, rice_cfg = rice_calc_params(
+            residuals, config.max_rice_order, config.max_rice_param,
+            sample_size, order,
+        )
+
+    best = SubframeChoice("fixed", fixed_bits, order or 0, rice_cfg, residuals)
+
+    if config.prediction == "lpc":
+        # Extension (the reference stubs LPC): run the SAME jnp analysis the
+        # device pipeline uses so both backends decide identically.
+        from .ops.lpc import analyze_lpc
+
+        l_res, l_q, l_shift, l_ok = analyze_lpc(
+            plane[None], lpc_order, config.lpc_precision
+        )
+        if bool(np.asarray(l_ok)[0]):
+            l_res = np.asarray(l_res)[0]
+            l_bits, l_cfg = rice_calc_params(
+                l_res, config.max_rice_order, config.max_rice_param,
+                sample_size, lpc_order,
+            )
+            l_cost = l_bits + 9 + lpc_order * config.lpc_precision
+            if l_cost < best.est_bits:
+                best = SubframeChoice(
+                    "lpc", l_cost, lpc_order, l_cfg, l_res,
+                    qcoeffs=np.asarray(l_q)[0],
+                    qshift=int(np.asarray(l_shift)[0]),
+                    precision=config.lpc_precision,
+                )
+
+    if best.rice is not None and best.est_bits < verbatim_bits:  # strict <
+        return best
     return choice
 
 
@@ -432,14 +464,43 @@ def write_fixed_subframe(
     order: int,
     rice_cfg: RiceConfig,
 ) -> None:
-    param_len = rice_cfg.method + 4
-    part_count = 1 << rice_cfg.part_order
-    escape_code = rice_cfg.escape_code
-
     w.write(8, (8 | order) << 1)
     mask = (1 << sample_size) - 1
     for i in range(order):
         w.write(sample_size, int(plane[i]) & mask)
+    _write_rice_partitions(w, residuals, order, rice_cfg)
+
+
+def write_lpc_subframe(
+    w: BitWriter,
+    sample_size: int,
+    plane: np.ndarray,
+    choice: SubframeChoice,
+) -> None:
+    """LPC subframe per the FLAC spec (extension; reference stubs this)."""
+    order = choice.order
+    w.write(8, (0x20 | (order - 1)) << 1)
+    mask = (1 << sample_size) - 1
+    for i in range(order):
+        w.write(sample_size, int(plane[i]) & mask)
+    w.write(4, choice.precision - 1)
+    w.write(5, choice.qshift)
+    cmask = (1 << choice.precision) - 1
+    for q in choice.qcoeffs[:order].tolist():
+        w.write(choice.precision, q & cmask)
+    _write_rice_partitions(w, choice.residuals, order, choice.rice)
+
+
+def _write_rice_partitions(
+    w: BitWriter,
+    residuals: np.ndarray,
+    order: int,
+    rice_cfg: RiceConfig,
+) -> None:
+    param_len = rice_cfg.method + 4
+    part_count = 1 << rice_cfg.part_order
+    escape_code = rice_cfg.escape_code
+
     w.write(6, (rice_cfg.method << 4) | rice_cfg.part_order)
 
     n = len(residuals)
@@ -515,6 +576,8 @@ def encode_frame(
             write_constant_subframe(w, sample_size, int(plane[0]))
         elif choice.kind == "verbatim":
             write_verbatim_subframe(w, sample_size, plane)
+        elif choice.kind == "lpc":
+            write_lpc_subframe(w, sample_size, plane, choice)
         else:
             write_fixed_subframe(
                 w, sample_size, plane, choice.residuals, choice.order, choice.rice

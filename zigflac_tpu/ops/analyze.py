@@ -49,13 +49,15 @@ BINOM = np.array(
 class PlaneAnalysis(NamedTuple):
     """Per-plane decisions; leading dims match the input's batch dims."""
 
-    kind: jnp.ndarray        # i32: 0 constant, 1 verbatim, 2 fixed
+    kind: jnp.ndarray        # i32: 0 constant, 1 verbatim, 2 fixed, 3 lpc
     est_bits: jnp.ndarray    # u64: header-less size estimate for mode argmin
-    order: jnp.ndarray       # i32: fixed predictor order 0..4
+    order: jnp.ndarray       # i32: predictor order (fixed 0..4, lpc 1..32)
     method: jnp.ndarray      # i32: 0 = 4-bit rice params, 1 = 5-bit
     part_order: jnp.ndarray  # i32: rice partition order 0..8
     params: jnp.ndarray      # u8 [..., 256]: rice param per partition
     residuals: jnp.ndarray   # i32 [..., B]: first `order` slots are 0
+    qcoeffs: jnp.ndarray     # i32 [..., 32]: quantized LPC coefficients
+    qshift: jnp.ndarray      # i32 [...]: LPC coefficient shift
 
 
 def _ilog2(v: int) -> int:
@@ -168,11 +170,12 @@ def rice_estimate(
     zz = zigzag_u32(residuals)
     sums = rice_sums_pyramid(zz, po_top)
 
-    # dynamic per-plane partition-order clamp from the predictor order
+    # dynamic per-plane partition-order clamp from the predictor order:
+    # log2(B) - floor(log2(order)); order 0 -> 15 (rice.zig:76-80)
     L = _ilog2(B)
     limit_by_order = np.array(
-        [15, L, L - 1, L - 1, L - 2], dtype=np.int32
-    )  # log2(B) - floor(log2(order)); order 0 -> 15 (rice.zig:76-80)
+        [15] + [L - _ilog2(k) for k in range(1, 33)], dtype=np.int32
+    )
     dyn_max_po = jnp.minimum(jnp.asarray(limit_by_order)[order], po_top)
 
     totals = []
@@ -254,11 +257,13 @@ def analyze_planes(
 
     all_eq = (planes == planes[..., :1]).all(axis=-1)
     verb_bits = jnp.uint64(B * bits_of_t)
+    z32 = jnp.zeros(batch_shape, jnp.int32)
+    zq = jnp.zeros(batch_shape + (32,), jnp.int32)
 
-    if B <= MAX_FIXED_ORDER or config.prediction == "none":
+    lpc_order = config.lpc_order if config.prediction == "lpc" else 0
+    if B <= max(MAX_FIXED_ORDER, lpc_order) or config.prediction == "none":
         kind = jnp.where(all_eq, 0, 1).astype(jnp.int32)
         est = jnp.where(all_eq, jnp.uint64(bits_of_t), verb_bits)
-        z32 = jnp.zeros(batch_shape, jnp.int32)
         return PlaneAnalysis(
             kind=kind,
             est_bits=est,
@@ -267,6 +272,8 @@ def analyze_planes(
             part_order=z32,
             params=jnp.zeros(batch_shape + (256,), jnp.uint8),
             residuals=jnp.zeros(batch_shape + (B,), jnp.int32),
+            qcoeffs=zq,
+            qshift=z32,
         )
 
     order, ok, _totals = best_fixed_order(planes, wide)
@@ -277,11 +284,45 @@ def analyze_planes(
     rice_bits, method, part_order, params = rice_estimate(
         residuals, order, B, config.max_rice_order, max_param
     )
+    # a wide-mode overflow disqualifies the fixed candidate entirely
+    rice_bits = jnp.where(ok, rice_bits, U64_MAX)
+    qcoeffs, qshift = zq, z32
 
-    use_fixed = ok & (rice_bits < verb_bits) & ~all_eq
-    kind = jnp.where(all_eq, 0, jnp.where(use_fixed, 2, 1)).astype(jnp.int32)
+    if config.prediction == "lpc":
+        # extension: LPC at the configured order competes with the best
+        # fixed predictor on estimated bits (+ its coefficient overhead)
+        from .lpc import analyze_lpc
+
+        l_res, l_q, l_shift, l_ok = analyze_lpc(
+            planes, lpc_order, config.lpc_precision
+        )
+        l_order = jnp.full(batch_shape, lpc_order, jnp.int32)
+        l_bits, l_method, l_po, l_params = rice_estimate(
+            l_res, l_order, B, config.max_rice_order, max_param
+        )
+        l_cost = l_bits + jnp.uint64(9 + lpc_order * config.lpc_precision)
+        use_lpc = l_ok & (l_cost < rice_bits)
+        rice_bits = jnp.where(use_lpc, l_cost, rice_bits)
+        method = jnp.where(use_lpc, l_method, method)
+        part_order = jnp.where(use_lpc, l_po, part_order)
+        params = jnp.where(use_lpc[..., None], l_params, params)
+        residuals = jnp.where(use_lpc[..., None], l_res, residuals)
+        order = jnp.where(use_lpc, l_order, order)
+        pad = [(0, 0)] * l_q.ndim
+        pad[-1] = (0, 32 - lpc_order)
+        qcoeffs = jnp.where(use_lpc[..., None], jnp.pad(l_q, pad), zq)
+        qshift = jnp.where(use_lpc, l_shift, z32)
+        pred_kind = jnp.where(use_lpc, 3, 2).astype(jnp.int32)
+    else:
+        use_lpc = jnp.zeros(batch_shape, bool)
+        pred_kind = jnp.full(batch_shape, 2, jnp.int32)
+
+    use_pred = (ok | use_lpc) & (rice_bits < verb_bits) & ~all_eq
+    kind = jnp.where(all_eq, 0, jnp.where(use_pred, pred_kind, 1)).astype(
+        jnp.int32
+    )
     est = jnp.where(
-        all_eq, jnp.uint64(bits_of_t), jnp.where(use_fixed, rice_bits, verb_bits)
+        all_eq, jnp.uint64(bits_of_t), jnp.where(use_pred, rice_bits, verb_bits)
     )
     return PlaneAnalysis(
         kind=kind,
@@ -291,6 +332,8 @@ def analyze_planes(
         part_order=part_order,
         params=params,
         residuals=residuals,
+        qcoeffs=qcoeffs,
+        qshift=qshift,
     )
 
 
@@ -311,6 +354,8 @@ class FrameWirePlan(NamedTuple):
     params: jnp.ndarray         # u8 [N, W, 256]
     planes: jnp.ndarray         # i64 [N, W, B]
     residuals: jnp.ndarray      # i32 [N, W, B]
+    qcoeffs: jnp.ndarray        # i32 [N, W, 32]
+    qshift: jnp.ndarray         # i32 [N, W]
 
 
 def plan_frames_indep(
@@ -330,6 +375,8 @@ def plan_frames_indep(
         params=a.params,
         planes=frames.astype(jnp.int64),
         residuals=a.residuals,
+        qcoeffs=a.qcoeffs,
+        qshift=a.qshift,
     )
 
 
@@ -363,6 +410,8 @@ def plan_frames_stereo(
         residuals = jnp.concatenate(
             [a3.residuals, a_s.residuals[:, None]], axis=1
         )
+        qcoeffs = jnp.concatenate([a3.qcoeffs, a_s.qcoeffs[:, None]], axis=1)
+        qshift = jnp.concatenate([a3.qshift, a_s.qshift[:, None]], axis=1)
         planes64 = jnp.concatenate(
             [lrm.astype(jnp.int64), side64[:, None]], axis=1
         )  # [n, 4, B]
@@ -372,6 +421,7 @@ def plan_frames_stereo(
         a = analyze_planes(lrms, 32, depth, B, config)
         est, kind, order, method = a.est_bits, a.kind, a.order, a.method
         part_order, params, residuals = a.part_order, a.params, a.residuals
+        qcoeffs, qshift = a.qcoeffs, a.qshift
         planes64 = lrms.astype(jnp.int64)
 
     # mode sums in plane order [L, R, M, S] = indices 0,1,2,3
@@ -412,6 +462,8 @@ def plan_frames_stereo(
         params=gather_ch(params),
         planes=gather_ch(planes64),
         residuals=gather_ch(residuals),
+        qcoeffs=gather_ch(qcoeffs),
+        qshift=gather_ch(qshift),
     )
 
 

@@ -70,7 +70,7 @@ def _pad256(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def channel_symbols(
-    kind: jnp.ndarray,        # i32 [N]
+    kind: jnp.ndarray,        # i32 [N]: 0 const, 1 verbatim, 2 fixed, 3 lpc
     order: jnp.ndarray,       # i32 [N]
     method: jnp.ndarray,      # i32 [N]
     part_order: jnp.ndarray,  # i32 [N]
@@ -78,21 +78,33 @@ def channel_symbols(
     params: jnp.ndarray,      # u8 [N, 256]
     plane: jnp.ndarray,       # i64 [N, B]
     residuals: jnp.ndarray,   # i32 [N, B]
+    qcoeffs: jnp.ndarray,     # i32 [N, 32]
+    qshift: jnp.ndarray,      # i32 [N]
     block_size: int,
     max_rice_order: int,
+    lpc_order: int = 0,       # static: 0 = LPC disabled
+    lpc_precision: int = 14,
 ) -> SymbolBlock:
-    """Symbols of one subframe: header byte, warmup, method/part-order,
-    per-partition params (with escape bits-per-sample), per-residual codes
-    (reference serializers: FrameWriter.zig:251-361)."""
+    """Symbols of one subframe: header byte, warmup, (LPC precision/shift/
+    coeffs), method/part-order, interleaved partition params + residual codes
+    (reference serializers: FrameWriter.zig:251-361; LPC layout per the FLAC
+    spec — the reference stubs it)."""
     n, B = plane.shape
     is_const = kind == 0
     is_verb = kind == 1
-    is_fixed = kind == 2
+    is_lpc = kind == 3
+    is_pred = (kind == 2) | is_lpc
     ss = sample_size
 
     # -- subframe header byte --
     hdr_val = jnp.where(
-        is_const, 0, jnp.where(is_verb, 1 << 1, (8 | order) << 1)
+        is_const,
+        0,
+        jnp.where(
+            is_verb,
+            1 << 1,
+            jnp.where(is_lpc, (0x20 | (order - 1)) << 1, (8 | order) << 1),
+        ),
     )
     hdr = SymbolBlock(
         nb=jnp.full((n, 1), 8, jnp.int32),
@@ -100,15 +112,34 @@ def channel_symbols(
         nbv=jnp.full((n, 1), 8, jnp.int32),
     )
 
-    # -- warmup samples (fixed only) --
-    w_idx = jax.lax.broadcasted_iota(jnp.int32, (n, MAX_FIXED_ORDER), 1)
-    w_active = is_fixed[:, None] & (w_idx < order[:, None])
+    # -- warmup samples --
+    max_warmup = max(MAX_FIXED_ORDER, lpc_order)
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, (n, max_warmup), 1)
+    w_active = is_pred[:, None] & (w_idx < order[:, None])
     w_nb = jnp.where(w_active, ss[:, None], 0)
-    w_val = _u64(plane[:, :MAX_FIXED_ORDER]) & _mask_u64(w_nb)
+    w_val = _u64(plane[:, :max_warmup]) & _mask_u64(w_nb)
     warm = SymbolBlock(nb=w_nb, val=jnp.where(w_active, w_val, 0), nbv=w_nb)
 
+    # -- LPC: precision-1(4) + shift(5), then order coefficients --
+    lpc_blocks = []
+    if lpc_order:
+        ps_nb = jnp.where(is_lpc, 9, 0)[:, None]
+        ps_val = _u64(((lpc_precision - 1) << 5) | qshift)[:, None] & _mask_u64(
+            ps_nb
+        )
+        lpc_blocks.append(
+            SymbolBlock(nb=ps_nb, val=jnp.where(ps_nb > 0, ps_val, 0), nbv=ps_nb)
+        )
+        c_idx = jax.lax.broadcasted_iota(jnp.int32, (n, lpc_order), 1)
+        c_active = is_lpc[:, None] & (c_idx < order[:, None])
+        c_nb = jnp.where(c_active, lpc_precision, 0)
+        c_val = _u64(qcoeffs[:, :lpc_order]) & _mask_u64(c_nb)
+        lpc_blocks.append(
+            SymbolBlock(nb=c_nb, val=jnp.where(c_active, c_val, 0), nbv=c_nb)
+        )
+
     # -- method(2) + partition order(4) --
-    m_nb = jnp.where(is_fixed, 6, 0)[:, None]
+    m_nb = jnp.where(is_pred, 6, 0)[:, None]
     m_val = _u64((method << 4) | part_order)[:, None] & _mask_u64(m_nb)
     meth = SymbolBlock(nb=m_nb, val=jnp.where(m_nb > 0, m_val, 0), nbv=m_nb)
 
@@ -153,7 +184,7 @@ def channel_symbols(
     r_fallback = jnp.take_along_axis(fallback256, pg, 1)
     r_bps = jnp.take_along_axis(bps, pg, 1)
 
-    p_slot = is_fixed[:, None] & (r_idx % psz_full == 0)
+    p_slot = is_pred[:, None] & (r_idx % psz_full == 0)
     p_nb = jnp.where(p_slot, jnp.where(r_esc, param_len + 5, param_len), 0)
     p_val = jnp.where(
         r_esc, (param_i << 5) | r_bps, jnp.where(r_fallback, 30, param_i)
@@ -168,7 +199,7 @@ def channel_symbols(
     rice_val = (jnp.uint64(1) << _u64(k)) | (zz & _mask_u64(k))
     esc_val = _u64(residuals) & _mask_u64(r_bps)
 
-    r_active = is_fixed[:, None] & (r_idx >= order[:, None])
+    r_active = is_pred[:, None] & (r_idx >= order[:, None])
     fx_nb = jnp.where(r_active, jnp.where(r_esc, r_bps, rice_nb), 0)
     fx_nbv = jnp.where(r_active, jnp.where(r_esc, r_bps, k + 1), 0)
     fx_val = jnp.where(r_active, jnp.where(r_esc, esc_val, rice_val), 0)
@@ -187,10 +218,11 @@ def channel_symbols(
     inter_val = jnp.stack([p_sym.val, s_val], axis=2).reshape(n, 2 * B)
     inter_nbv = jnp.stack([p_sym.nbv, s_nbv], axis=2).reshape(n, 2 * B)
 
+    blocks = [hdr, warm] + lpc_blocks + [meth]
     return SymbolBlock(
-        nb=jnp.concatenate([hdr.nb, warm.nb, meth.nb, inter_nb], axis=1),
-        val=jnp.concatenate([hdr.val, warm.val, meth.val, inter_val], axis=1),
-        nbv=jnp.concatenate([hdr.nbv, warm.nbv, meth.nbv, inter_nbv], axis=1),
+        nb=jnp.concatenate([b.nb for b in blocks] + [inter_nb], axis=1),
+        val=jnp.concatenate([b.val for b in blocks] + [inter_val], axis=1),
+        nbv=jnp.concatenate([b.nbv for b in blocks] + [inter_nbv], axis=1),
     )
 
 
@@ -252,6 +284,8 @@ def pack_frames(
     block_size: int,
     max_rice_order: int,
     max_words: int,
+    lpc_order: int = 0,
+    lpc_precision: int = 14,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full frames (header + subframes) -> (words u32 [N, W], total_bits)."""
     hb, hlen = build_headers(frame_numbers, plan.channels_code, hstatic)
@@ -268,8 +302,12 @@ def pack_frames(
                 plan.params[:, c],
                 plan.planes[:, c],
                 plan.residuals[:, c],
+                plan.qcoeffs[:, c],
+                plan.qshift[:, c],
                 block_size,
                 max_rice_order,
+                lpc_order=lpc_order,
+                lpc_precision=lpc_precision,
             )
         )
     sym = SymbolBlock(
@@ -286,6 +324,9 @@ def max_frame_words(block_size: int, n_wire: int, depth: int) -> int:
     truncated mean), so estimate < verbatim(bits_of_t * B) implies actual
     < (bits_of_t + 5) * B + headers; sized with margin on top of that."""
     bits_of_t = 64 if depth == 32 else 32
-    per_ch = 8 + 4 * 34 + 6 + 256 * 10 + block_size * (bits_of_t + 6)
+    per_ch = (
+        8 + 32 * 34 + 9 + 32 * 15 + 6 + 256 * 10
+        + block_size * (bits_of_t + 6)
+    )
     total_bits = MAX_HEADER_BYTES * 8 + n_wire * per_ch + 64
     return (total_bits + 31) // 32

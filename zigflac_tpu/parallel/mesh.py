@@ -41,7 +41,10 @@ def _encode_shard(
     """Per-shard encode (runs on each chip over its local frames)."""
     plan = plan_frames(frames, depth, config)
     words, total_bits = pack_frames(
-        plan, frame_numbers, hstatic, block_size, config.max_rice_order, max_words
+        plan, frame_numbers, hstatic, block_size, config.max_rice_order,
+        max_words,
+        lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
+        lpc_precision=config.lpc_precision,
     )
     byte_len = (total_bits + 7) >> 3
     crcs = crc16_words(words, byte_len)
