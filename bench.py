@@ -38,7 +38,7 @@ def make_wav_bytes(seconds: float, rate: int = 44100) -> bytes:
 
 
 def main() -> None:
-    seconds = float(os.environ.get("BENCH_SECONDS", "120"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "95"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from zigflac_tpu.models.encoder import encode_wav_bytes
 

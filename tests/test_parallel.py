@@ -8,7 +8,8 @@ import jax.numpy as jnp
 import pytest
 
 from zigflac_tpu.metadata import StreamInfo
-from zigflac_tpu.models.pipeline import DevicePipeline, _assemble_frames
+from zigflac_tpu.models.pipeline import DevicePipeline
+from zigflac_tpu.native import assemble_frames
 from zigflac_tpu.parallel.mesh import default_mesh, encode_step_sharded
 from zigflac_tpu.utils.config import EncoderConfig
 
@@ -39,9 +40,13 @@ def test_sharded_matches_single(rng, mesh):
         sample_rate=44100,
         mesh=mesh,
     )
-    sharded = _assemble_frames(
-        np.asarray(words), np.asarray(total_bits), np.asarray(crcs), nf
-    )
+    byte_len = (np.asarray(total_bits) + 7) // 8
+    stream = assemble_frames(np.asarray(words), byte_len, np.asarray(crcs))
+    sharded = []
+    pos = 0
+    for L in (byte_len + 2).tolist():
+        sharded.append(stream[pos : pos + int(L)])
+        pos += int(L)
 
     pipe = DevicePipeline(cfg, 16, batch_size=nf)
     single = pipe.encode_frames(frames, 0, info)

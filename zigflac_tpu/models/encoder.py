@@ -18,12 +18,11 @@ Both produce byte-identical frames.
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Optional
 
 import numpy as np
 
-from .. import golden
+from .. import golden, native
 from ..metadata import StreamInfo, streaminfo_block, vorbis_comment_block
 from ..utils.config import EncoderConfig
 from ..wav import WavReader
@@ -103,29 +102,38 @@ class Encoder:
         n_full = n // block
         rem = n - n_full * block
 
-        frame_bytes: List[bytes] = []
+        stream = b""
+        sizes = np.zeros(0, dtype=np.int64)
         if n_full:
             batch = (
                 samples[:, : n_full * block]
                 .reshape(c, n_full, block)
                 .transpose(1, 0, 2)
             )
-            frame_bytes.extend(self.encode_frames_batch(batch, 0, info))
+            if self.backend == "device":
+                stream, sizes = self._device_pipeline().encode_frames_stream(
+                    batch, 0, info
+                )
+            else:
+                frames = self.encode_frames_batch(batch, 0, info)
+                stream = b"".join(frames)
+                sizes = np.array([len(b) for b in frames], dtype=np.int64)
         if rem:
             planes = [samples[ch, n_full * block :] for ch in range(c)]
-            frame_bytes.append(self.encode_frame(planes, n_full, info))
+            last = self.encode_frame(planes, n_full, info)
+            stream += last
+            sizes = np.concatenate([sizes, [len(last)]])
 
-        sizes = np.array([len(b) for b in frame_bytes], dtype=np.int64)
         info.update_frame_sizes(sizes)
 
         if raw_pcm_bytes is None:
             raw_pcm_bytes = _reconstruct_raw_bytes(samples, self.bit_depth)
-        info.md5 = hashlib.md5(raw_pcm_bytes).digest()
+        info.md5 = native.md5(raw_pcm_bytes)
 
         return (
             streaminfo_block(info, is_last=False)
             + vorbis_comment_block(is_last=True)
-            + b"".join(frame_bytes)
+            + stream
         )
 
 

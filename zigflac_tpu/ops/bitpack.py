@@ -318,6 +318,51 @@ def pack_frames(
     return pack_symbols(sym, max_words)
 
 
+def deposit_crc16(
+    words: jnp.ndarray, byte_len: jnp.ndarray, crcs: jnp.ndarray
+) -> jnp.ndarray:
+    """OR each frame's big-endian CRC-16 into the two bytes at byte_len
+    (the padding bytes there are zero, so scatter-add == or)."""
+    n = words.shape[0]
+    rows = jnp.arange(n)
+    hi = (crcs >> 8) & 0xFF
+    lo = crcs & 0xFF
+    for byte_val, pos in ((hi, byte_len), (lo, byte_len + 1)):
+        w = (pos >> 2).astype(jnp.int32)
+        sh = (8 * (3 - (pos & 3))).astype(jnp.uint32)
+        words = words.at[rows, w].add((byte_val << sh).astype(jnp.uint32))
+    return words
+
+
+def compact_stream(
+    words: jnp.ndarray, frame_bytes: jnp.ndarray, capb: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate every frame's bytes (already CRC-footed) into one dense
+    u8 stream on device, so only ~compressed-size bytes cross the d2h link.
+
+    Byte q of the output belongs to frame f(q) = #frame-starts <= q
+    (computed by scattering 1s at frame boundaries + a cumsum, no binary
+    search); its byte index within the frame selects the source word/byte.
+
+    Returns (stream u8 [capb], total_bytes i32 scalar). The caller must
+    check total_bytes <= capb (overflow means re-run at higher capacity).
+    """
+    n, W = words.shape
+    boff = jnp.cumsum(frame_bytes) - frame_bytes  # exclusive prefix
+    total = boff[-1] + frame_bytes[-1]
+
+    marks = jnp.zeros((capb,), jnp.int32)
+    marks = marks.at[boff[1:]].add(1, mode="drop")
+    f = jnp.cumsum(marks)  # frame index per output byte
+    q = jnp.arange(capb, dtype=jnp.int32)
+    j = q - boff[f]  # byte index within frame
+    flat = words.reshape(-1)
+    w = flat[(f * W + (j >> 2)).astype(jnp.int32)]
+    byte = (w >> ((8 * (3 - (j & 3))).astype(jnp.uint32))) & jnp.uint32(0xFF)
+    stream = jnp.where(q < total, byte, 0).astype(jnp.uint8)
+    return stream, total.astype(jnp.int32)
+
+
 def max_frame_words(block_size: int, n_wire: int, depth: int) -> int:
     """Static per-frame word capacity. Actual Rice bits can exceed the
     flake estimate by at most ~part_size/2 per partition (the estimate is a

@@ -143,23 +143,12 @@ class WavReader:
           src/WavReader.zig:74-81),
         * bit_depth != 32: arithmetic shift right by ``32 - bit_depth``.
         """
+        from .native import deinterleave
+
         nb = self.bytes_per_sample
         n = self.samples_count
         c = self.channels
-        raw = np.frombuffer(self.data[: n * c * nb], dtype=np.uint8)
-        # [n, c, nb] little-endian bytes
-        b = raw.reshape(n, c, nb)
-        # top-justify: sample bytes occupy the most significant `nb` bytes
-        top = np.zeros((n, c, 4), dtype=np.uint8)
-        top[:, :, 4 - nb :] = b
-        samples = top.view("<u4").reshape(n, c).astype(np.uint32)
-        samples = samples.view(np.int32).T.copy()  # [c, n]
-        if nb == 1:
-            sub_amt = np.int32(128 >> (8 - self.bit_depth))
-            samples -= sub_amt
-        if self.bit_depth != 32:
-            samples >>= np.int32(32 - self.bit_depth)
-        return samples
+        return deinterleave(self.data[: n * c * nb], c, nb, self.bit_depth, n)
 
     def raw_pcm_bytes(self) -> memoryview:
         """The exact byte stream the STREAMINFO MD5 covers
