@@ -1,0 +1,53 @@
+"""Batched multi-file encode (BASELINE config 4): N WAVs fused into one
+device frame batch must produce exactly the same per-file FLAC streams as
+encoding each file alone."""
+
+import io
+
+import numpy as np
+
+from zigflac_tpu.models.encoder import encode_wav_bytes, encode_wav_bytes_many
+from zigflac_tpu.decoder import decode_flac
+from zigflac_tpu.wav import write_wav
+
+from conftest import make_signal
+
+
+def wav_of(samples, rate, depth):
+    buf = io.BytesIO()
+    write_wav(buf, samples, rate, depth)
+    return buf.getvalue()
+
+
+def test_multifile_matches_single(rng):
+    wavs = [
+        wav_of(make_signal(rng, 2 * 4096 + 77, 2, 16, "mixed"), 44100, 16),
+        wav_of(make_signal(rng, 4096, 2, 16, "sine"), 44100, 16),
+        wav_of(make_signal(rng, 3 * 4096, 2, 16, "quiet_noise"), 44100, 16),
+    ]
+    batched = encode_wav_bytes_many(wavs, backend="device")
+    singles = [encode_wav_bytes(w, backend="device") for w in wavs]
+    for i, (a, b) in enumerate(zip(batched, singles)):
+        assert a == b, f"file {i} differs"
+
+
+def test_multifile_mixed_formats(rng):
+    wavs = [
+        wav_of(make_signal(rng, 4096 + 10, 2, 16, "mixed"), 44100, 16),
+        wav_of(make_signal(rng, 4096, 2, 24, "sine"), 96000, 24),
+        wav_of(make_signal(rng, 2 * 4096, 1, 16, "ramp"), 48000, 16),
+    ]
+    batched = encode_wav_bytes_many(wavs, backend="device")
+    for w, f in zip(wavs, batched):
+        dec = decode_flac(f)
+        assert dec.md5_ok
+
+
+def test_multifile_golden_backend(rng):
+    wavs = [
+        wav_of(make_signal(rng, 4096 + 5, 2, 16, "mixed"), 44100, 16),
+        wav_of(make_signal(rng, 2 * 4096, 2, 16, "sine"), 44100, 16),
+    ]
+    batched = encode_wav_bytes_many(wavs, backend="golden")
+    singles = [encode_wav_bytes(w, backend="golden") for w in wavs]
+    assert batched == singles

@@ -158,6 +158,93 @@ def _reconstruct_raw_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
     return np.ascontiguousarray(b).tobytes()
 
 
+def encode_wav_bytes_many(
+    wav_bytes_list: List[bytes],
+    config: Optional[EncoderConfig] = None,
+    backend: str = "auto",
+) -> List[bytes]:
+    """Batched multi-file encode (BASELINE config 4): full frames from all
+    same-format files are fused into one device frame batch (per-file frame
+    numbering preserved), so the Rice parameter / partition sweeps and bit
+    packing amortize across files. Files are grouped by
+    (rate, depth, channels); ragged tail frames go through the golden path.
+    """
+    parsed = [WavReader.from_bytes(b) for b in wav_bytes_list]
+    results: List[Optional[bytes]] = [None] * len(parsed)
+
+    groups = {}
+    for i, wav in enumerate(parsed):
+        groups.setdefault(
+            (wav.sample_rate, wav.bit_depth, wav.channels), []
+        ).append(i)
+
+    for (rate, depth, channels), idxs in groups.items():
+        cfg = config or EncoderConfig.default(channels)
+        block = cfg.block_size
+        enc = Encoder(cfg, depth, backend=backend)
+
+        batches = []
+        fnums = []
+        meta = []  # (idx, info, samples, n_full, rem)
+        for i in idxs:
+            wav = parsed[i]
+            info = wav.flac_streaminfo(block)
+            samples = wav.planar_samples()
+            c, n = samples.shape
+            n_full = n // block
+            rem = n - n_full * block
+            if n_full:
+                batches.append(
+                    samples[:, : n_full * block]
+                    .reshape(c, n_full, block)
+                    .transpose(1, 0, 2)
+                )
+                fnums.append(np.arange(n_full, dtype=np.int64))
+            meta.append((i, info, samples, wav, n_full, rem))
+
+        if batches and enc.backend == "device":
+            allframes = np.concatenate(batches, axis=0)
+            allfns = np.concatenate(fnums)
+            stream, sizes = enc._device_pipeline().encode_frames_stream(
+                allframes, 0, meta[0][1], frame_numbers=allfns
+            )
+        else:
+            stream, sizes = b"", np.zeros(0, np.int64)
+            if batches:
+                parts = []
+                szs = []
+                for (i, info, samples, wav, n_full, rem), batch in zip(
+                    (m for m in meta if m[4]), batches
+                ):
+                    fr = enc.encode_frames_batch(batch, 0, info)
+                    parts.append(b"".join(fr))
+                    szs.append(np.array([len(x) for x in fr], np.int64))
+                stream = b"".join(parts)
+                sizes = np.concatenate(szs)
+
+        pos_bytes = 0
+        pos_frames = 0
+        for i, info, samples, wav, n_full, rem in meta:
+            fsz = sizes[pos_frames : pos_frames + n_full]
+            nb = int(fsz.sum())
+            body = stream[pos_bytes : pos_bytes + nb]
+            pos_bytes += nb
+            pos_frames += n_full
+            if rem:
+                planes = [samples[ch, n_full * block :] for ch in range(samples.shape[0])]
+                last = enc.encode_frame(planes, n_full, info)
+                body += last
+                fsz = np.concatenate([fsz, [len(last)]])
+            info.update_frame_sizes(fsz)
+            info.md5 = native.md5(bytes(wav.raw_pcm_bytes()))
+            results[i] = (
+                streaminfo_block(info, is_last=False)
+                + vorbis_comment_block(is_last=True)
+                + body
+            )
+    return results  # type: ignore[return-value]
+
+
 def encode_wav_bytes(
     wav_bytes: bytes,
     config: Optional[EncoderConfig] = None,

@@ -39,10 +39,11 @@ from ..ops.crc16 import crc16_words
 from ..ops.header import HeaderStatic, header_static
 
 DEFAULT_BATCH = 1024
-# capacity ladder: output-stream budget as a fraction of raw PCM bytes.
-# 0.75 covers typical audio; 1.15 covers all-verbatim frames; the padded
-# words path (exact worst case) is the final fallback.
-CAPACITY_LADDER = (0.75, 1.15)
+# capacity ladder: (output-stream budget, per-frame word budget) as
+# fractions of raw PCM bytes. Tier 0 covers typical audio; tier 1 covers
+# all-verbatim frames; the exact-worst-case padded-words path is the final
+# fallback. Packing + CRC cost scale with the word budget.
+CAPACITY_LADDER = ((0.75, 1.25), (1.15, None))
 
 
 def _next_pow2(n: int) -> int:
@@ -82,11 +83,21 @@ class DevicePipeline:
     # -- public API ---------------------------------------------------------
 
     def encode_frames_stream(
-        self, frames: np.ndarray, first_frame_number: int, info: StreamInfo
+        self,
+        frames: np.ndarray,
+        first_frame_number: int,
+        info: StreamInfo,
+        frame_numbers: np.ndarray | None = None,
     ) -> Tuple[bytes, np.ndarray]:
-        """[F, C, B] PCM int32 full frames -> (frame-stream bytes, sizes)."""
+        """[F, C, B] PCM int32 full frames -> (frame-stream bytes, sizes).
+
+        ``frame_numbers`` overrides the default consecutive numbering (used
+        by the batched multi-file path, where numbering restarts per file).
+        """
         f, c, B = frames.shape
         bs = self.batch_size
+        if frame_numbers is None:
+            frame_numbers = first_frame_number + np.arange(f, dtype=np.int64)
 
         # dispatch all batches asynchronously (tier-0 capacity)
         pending = []
@@ -94,19 +105,21 @@ class DevicePipeline:
             chunk = frames[start : start + bs]
             nreal = chunk.shape[0]
             bucket = min(bs, _next_pow2(nreal))
+            fns = frame_numbers[start : start + nreal]
             if nreal < bucket:
                 pad = np.repeat(chunk[-1:], bucket - nreal, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            fn = self._compact_fn(c, B, info.sample_rate, 0, chunk.shape[0])
-            fns = np.arange(start, start + chunk.shape[0], dtype=np.int64)
-            fns += first_frame_number
+                fns = np.concatenate(
+                    [fns, np.repeat(fns[-1:], bucket - nreal)]
+                )
+            fn, frame_cap = self._compact_fn(c, B, info.sample_rate, 0, chunk.shape[0])
             out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
-            pending.append((start, chunk, nreal, fns, out))
+            pending.append((start, chunk, nreal, fns, out, frame_cap))
 
         # collect in order; d2h of batch k overlaps compute of k+1..
         chunks: List[bytes] = []
         sizes: List[np.ndarray] = []
-        for start, chunk, nreal, fns, out in pending:
+        for start, chunk, nreal, fns, out, frame_cap in pending:
             stream, fsize, total = out
             total_i = int(total)
             fsz = np.asarray(fsize)
@@ -115,8 +128,9 @@ class DevicePipeline:
                 total_i = int(fsz[:nreal].sum())
                 fsz = fsz[:nreal]
             # the real frames are the stream prefix; accept if that prefix
-            # fits even when padded tail frames overflowed the capacity
-            if total_i <= stream.shape[0]:
+            # fits even when padded tail frames overflowed the capacity,
+            # and no real frame out-sized its per-frame word budget
+            if total_i <= stream.shape[0] and int(fsz.max()) <= frame_cap:
                 chunks.append(np.asarray(stream)[:total_i].tobytes())
                 sizes.append(fsz.astype(np.int64))
             else:
@@ -131,11 +145,11 @@ class DevicePipeline:
 
     def _encode_overflow(self, chunk, nreal, fns, c, B, info):
         """Capacity-ladder fallback for batches that out-size tier 0."""
-        fn1 = self._compact_fn(c, B, info.sample_rate, 1, chunk.shape[0])
+        fn1, frame_cap = self._compact_fn(c, B, info.sample_rate, 1, chunk.shape[0])
         stream, fsize, total = fn1(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
         fsz = np.asarray(fsize)[:nreal].astype(np.int64)
         total_i = int(fsz.sum())
-        if total_i <= stream.shape[0]:
+        if total_i <= stream.shape[0] and int(fsz.max()) <= frame_cap:
             return np.asarray(stream)[:total_i].tobytes(), fsz
         # exact worst-case: padded words path
         fnw = self._encode_batch_fn(chunk.shape[0], c, B, info.sample_rate)
@@ -196,19 +210,23 @@ def _compiled_encode_compact(
 ):
     hstatic = header_static(block_size, sample_rate, depth)
     n_wire = 2 if config.stereo_auto else c
-    max_words = max_frame_words(block_size, n_wire, depth)
+    stream_ratio, words_ratio = CAPACITY_LADDER[tier]
+    max_words = max_frame_words(block_size, n_wire, depth, words_ratio)
     raw_bytes = batch * block_size * c * max(depth, 8) // 8
-    capb = int(raw_bytes * CAPACITY_LADDER[tier]) + 64 * batch
-    return jax.jit(
-        partial(
-            _encode_batch_compact,
-            config=config,
-            depth=depth,
-            hstatic=hstatic,
-            block_size=block_size,
-            max_words=max_words,
-            capb=capb,
-        )
+    capb = int(raw_bytes * stream_ratio) + 64 * batch
+    return (
+        jax.jit(
+            partial(
+                _encode_batch_compact,
+                config=config,
+                depth=depth,
+                hstatic=hstatic,
+                block_size=block_size,
+                max_words=max_words,
+                capb=capb,
+            )
+        ),
+        max_words * 4,
     )
 
 

@@ -84,31 +84,45 @@ def shift_right_zero(x: jnp.ndarray, m: int) -> jnp.ndarray:
     return jnp.pad(x, pad)[..., : x.shape[-1]]
 
 
+def _tree_or(x: jnp.ndarray) -> jnp.ndarray:
+    """OR-reduce the last axis with a halving tree (elementwise, VPU-friendly
+    — custom lax.reduce computations can serialize on TPU)."""
+    n = x.shape[-1]
+    while n > 1:
+        if n % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], -1)
+            n += 1
+        half = n // 2
+        x = x[..., :half] | x[..., half:]
+        n = half
+    return x[..., 0]
+
+
 def best_fixed_order(planes: jnp.ndarray, wide: bool):
     """(order i32, ok i1, totals u64[5]) per plane — first-min argmin of
     sum-of-abs over the difference cascade; wide mode marks any order whose
     residuals exceed i32 with u64::max and reports whether the winner is
     usable (libFLAC/fixed.zig:88-168)."""
     i32_max = jnp.uint64((1 << 31) - 1)
-    d = planes.astype(jnp.int64)
+    # depth < 28 (normal mode): the whole cascade fits int32; wide mode
+    # needs int64 (33-bit side samples, up to 37-bit diffs)
+    d = planes.astype(jnp.int64) if wide else planes.astype(jnp.int32)
     totals = []
-    oks = []
     for k in range(MAX_FIXED_ORDER + 1):
-        a = jnp.abs(d).astype(jnp.uint64)
-        total = a.sum(axis=-1)
+        a = jnp.abs(d)
+        total = a.astype(jnp.uint64).sum(axis=-1)
         if wide:
-            overflow = jax.lax.reduce(
-                a, np.uint64(0), jax.lax.bitwise_or, (a.ndim - 1,)
-            ) > i32_max
+            overflow = _tree_or(a.astype(jnp.uint64)) > i32_max
             total = jnp.where(overflow, U64_MAX, total)
-            oks.append(~overflow)
         totals.append(total)
         if k < MAX_FIXED_ORDER:
             d = d[..., 1:] - d[..., :-1]
     tstack = jnp.stack(totals)  # [5, ...]
     order = jnp.argmin(tstack, axis=0).astype(jnp.int32)  # first-min
     if wide:
-        best_total = jnp.take_along_axis(tstack, order[None].astype(jnp.int64), 0)[0]
+        best_total = totals[0]
+        for k in range(1, MAX_FIXED_ORDER + 1):
+            best_total = jnp.where(order == k, totals[k], best_total)
         ok = best_total != U64_MAX
     else:
         ok = jnp.ones(order.shape, dtype=bool)
@@ -226,12 +240,13 @@ def rice_estimate(
     tstack = jnp.stack(totals)  # [PO+1, ...]
     # ties keep the larger partition order (<= in rice.zig:258) -> last-min
     best_po = (po_top - jnp.argmin(tstack[::-1], axis=0)).astype(jnp.int32)
-    sel = best_po[None].astype(jnp.int64)
-    bits = jnp.take_along_axis(tstack, sel, 0)[0]
-    method = jnp.take_along_axis(jnp.stack(methods), sel, 0)[0]
-    params = jnp.take_along_axis(
-        jnp.stack(params_padded), sel[..., None], 0
-    )[0]
+    # where-chain selects (take_along_axis lowers as per-element gathers)
+    bits, method, params = totals[0], methods[0], params_padded[0]
+    for po in range(1, po_top + 1):
+        at = best_po == po
+        bits = jnp.where(at, totals[po], bits)
+        method = jnp.where(at, methods[po], method)
+        params = jnp.where(at[..., None], params_padded[po], params)
     return bits, method, best_po, params
 
 
@@ -352,7 +367,7 @@ class FrameWirePlan(NamedTuple):
     part_order: jnp.ndarray
     sample_size: jnp.ndarray    # i32 [N, W]
     params: jnp.ndarray         # u8 [N, W, 256]
-    planes: jnp.ndarray         # i64 [N, W, B]
+    planes: jnp.ndarray         # i32 [N, W, B] (i64 iff depth 32 stereo)
     residuals: jnp.ndarray      # i32 [N, W, B]
     qcoeffs: jnp.ndarray        # i32 [N, W, 32]
     qshift: jnp.ndarray         # i32 [N, W]
@@ -373,7 +388,7 @@ def plan_frames_indep(
         part_order=a.part_order,
         sample_size=jnp.full((n, c), depth, jnp.int32),
         params=a.params,
-        planes=frames.astype(jnp.int64),
+        planes=frames,
         residuals=a.residuals,
         qcoeffs=a.qcoeffs,
         qshift=a.qshift,
@@ -412,9 +427,9 @@ def plan_frames_stereo(
         )
         qcoeffs = jnp.concatenate([a3.qcoeffs, a_s.qcoeffs[:, None]], axis=1)
         qshift = jnp.concatenate([a3.qshift, a_s.qshift[:, None]], axis=1)
-        planes64 = jnp.concatenate(
+        planes_w = jnp.concatenate(
             [lrm.astype(jnp.int64), side64[:, None]], axis=1
-        )  # [n, 4, B]
+        )  # [n, 4, B] — i64: the side channel is 33-bit at depth 32
     else:
         side = side64.astype(jnp.int32)
         lrms = jnp.stack([left, right, mid, side], axis=1)  # [n, 4, B]
@@ -422,7 +437,7 @@ def plan_frames_stereo(
         est, kind, order, method = a.est_bits, a.kind, a.order, a.method
         part_order, params, residuals = a.part_order, a.params, a.residuals
         qcoeffs, qshift = a.qcoeffs, a.qshift
-        planes64 = lrms.astype(jnp.int64)
+        planes_w = lrms  # i32: all planes fit (side <= depth+1 <= 25 bits)
 
     # mode sums in plane order [L, R, M, S] = indices 0,1,2,3
     sums = jnp.stack(
@@ -436,16 +451,14 @@ def plan_frames_stereo(
     )
     ch_type = jnp.argmin(sums, axis=1).astype(jnp.int32)  # first-min
 
-    # wire-channel plane indices per mode (L,R,M,S = 0,1,2,3):
-    wire0_tbl = jnp.asarray(np.array([0, 0, 3, 2], np.int32))
-    wire1_tbl = jnp.asarray(np.array([1, 3, 1, 3], np.int32))
-    w0 = wire0_tbl[ch_type]
-    w1 = wire1_tbl[ch_type]
-    wsel = jnp.stack([w0, w1], axis=1)  # [n, 2]
-
+    # wire-channel planes per mode (L,R,M,S = 0,1,2,3): wire0 = [L,L,S,M],
+    # wire1 = [R,S,R,S]. Elementwise selects, not gathers — per-element
+    # gathers over the big [n, 4, B] tensors lower poorly on TPU.
     def gather_ch(x):
-        idx = wsel.reshape(n, 2, *([1] * (x.ndim - 2))).astype(jnp.int64)
-        return jnp.take_along_axis(x, jnp.broadcast_to(idx, (n, 2) + x.shape[2:]), 1)
+        ct = ch_type.reshape(n, *([1] * (x.ndim - 2)))
+        w0 = jnp.where(ct <= 1, x[:, 0], jnp.where(ct == 2, x[:, 3], x[:, 2]))
+        w1 = jnp.where((ct == 0) | (ct == 2), x[:, 1], x[:, 3])
+        return jnp.stack([w0, w1], axis=1)
 
     # side sits at wire 0 for SideRight, wire 1 for LeftSide/MidSide; the
     # side channel is written with depth+1 bits (libFLAC/Encoder.zig:203-206)
@@ -460,7 +473,7 @@ def plan_frames_stereo(
         part_order=gather_ch(part_order),
         sample_size=jnp.stack([ss0, ss1], axis=1),
         params=gather_ch(params),
-        planes=gather_ch(planes64),
+        planes=gather_ch(planes_w),
         residuals=gather_ch(residuals),
         qcoeffs=gather_ch(qcoeffs),
         qshift=gather_ch(qshift),

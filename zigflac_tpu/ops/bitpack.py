@@ -46,16 +46,23 @@ def _mask_u64(nbits: jnp.ndarray) -> jnp.ndarray:
     return (jnp.uint64(1) << _u64(nbits)) - jnp.uint64(1)
 
 
+def _tree_or_last(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[-1]
+    while n > 1:
+        if n % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], -1)
+            n += 1
+        half = n // 2
+        x = x[..., :half] | x[..., half:]
+        n = half
+    return x[..., 0]
+
+
 def _or_pyramid(x: jnp.ndarray, po_top: int):
     """levels[po][p] = OR of x over partition p at order po (int32 in/out)."""
     B = x.shape[-1]
     part = 1 << po_top
-    top = jax.lax.reduce(
-        x.reshape(*x.shape[:-1], part, B >> po_top),
-        np.int32(0),
-        jax.lax.bitwise_or,
-        (x.ndim,),
-    )
+    top = _tree_or_last(x.reshape(*x.shape[:-1], part, B >> po_top))
     levels = [None] * (po_top + 1)
     levels[po_top] = top
     for po in range(po_top - 1, -1, -1):
@@ -148,11 +155,14 @@ def channel_symbols(
     posmag = residuals ^ (residuals >> np.int32(31))  # |r| encoded positive
     pos_levels = _or_pyramid(posmag, po_top)
     or_levels = _or_pyramid(residuals, po_top)
-    pos_stack = jnp.stack([_pad256(x) for x in pos_levels])  # [PO+1, N, 256]
-    or_stack = jnp.stack([_pad256(x) for x in or_levels])
-    sel = part_order[None, :, None].astype(jnp.int64)
-    res_max = jnp.take_along_axis(pos_stack, sel, 0)[0]  # [N, 256]
-    or_all = jnp.take_along_axis(or_stack, sel, 0)[0]
+    # select the chosen partition order's level with a where-chain (a 9-way
+    # take_along_axis lowers as per-element gathers on TPU)
+    res_max = _pad256(pos_levels[0])
+    or_all = _pad256(or_levels[0])
+    for po in range(1, po_top + 1):
+        at = (part_order == po)[:, None]
+        res_max = jnp.where(at, _pad256(pos_levels[po]), res_max)
+        or_all = jnp.where(at, _pad256(or_levels[po]), or_all)
     bps = jnp.where(
         or_all == 0,
         0,
@@ -167,7 +177,6 @@ def channel_symbols(
     # masked warmup residual slots — same stream order as the reference.
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
     psz_full = (B >> part_order)[:, None]  # [N, 1]
-    r_part = r_idx // psz_full
 
     param_len = (4 + method)[:, None]  # [N, 1]
     escape_code = ((1 << (4 + method)) - 1)[:, None]
@@ -177,14 +186,37 @@ def channel_symbols(
     esc_live256 = is_esc256 & ~fallback256
     eff_param256 = jnp.where(fallback256, 30, params_i)
 
-    pg = r_part.astype(jnp.int64)
-    param_i = jnp.take_along_axis(params_i, pg, 1)
-    k = jnp.take_along_axis(eff_param256, pg, 1)
-    r_esc = jnp.take_along_axis(esc_live256, pg, 1)
-    r_fallback = jnp.take_along_axis(fallback256, pg, 1)
-    r_bps = jnp.take_along_axis(bps, pg, 1)
+    # Distribute per-partition values to per-sample lanes without gathers:
+    # partition data is piecewise-constant over contiguous runs, so scatter
+    # packed deltas at partition starts and prefix-sum. One extra scatter of
+    # ones marks the starts themselves (the param symbol slots).
+    packed256 = (
+        params_i
+        | (eff_param256 << 5)
+        | (esc_live256.astype(jnp.int32) << 10)
+        | (fallback256.astype(jnp.int32) << 11)
+        | (bps << 12)
+    )
+    delta = packed256 - jnp.pad(packed256, ((0, 0), (1, 0)))[:, :256]
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 256), 1)
+    pos = p_iota * psz_full  # partition start sample (>= B for unused p)
+    in_range = pos < B
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 256), 0)
+    flat_pos = rows * B + jnp.where(in_range, pos, 0)
+    d = jnp.zeros((n * B,), jnp.int32)
+    d = d.at[flat_pos.reshape(-1)].add(
+        jnp.where(in_range, delta, 0).reshape(-1)
+    )
+    per_sample = jnp.cumsum(d.reshape(n, B), axis=1)
+    param_i = per_sample & 31
+    k = (per_sample >> 5) & 31
+    r_esc = ((per_sample >> 10) & 1) == 1
+    r_fallback = ((per_sample >> 11) & 1) == 1
+    r_bps = (per_sample >> 12) & 63
 
-    p_slot = is_pred[:, None] & (r_idx % psz_full == 0)
+    ind = jnp.zeros((n * B,), jnp.int32)
+    ind = ind.at[flat_pos.reshape(-1)].add(jnp.where(in_range, 1, 0).reshape(-1))
+    p_slot = is_pred[:, None] & (ind.reshape(n, B) > 0)
     p_nb = jnp.where(p_slot, jnp.where(r_esc, param_len + 5, param_len), 0)
     p_val = jnp.where(
         r_esc, (param_i << 5) | r_bps, jnp.where(r_fallback, 30, param_i)
@@ -363,11 +395,30 @@ def compact_stream(
     return stream, total.astype(jnp.int32)
 
 
-def max_frame_words(block_size: int, n_wire: int, depth: int) -> int:
-    """Static per-frame word capacity. Actual Rice bits can exceed the
-    flake estimate by at most ~part_size/2 per partition (the estimate is a
-    truncated mean), so estimate < verbatim(bits_of_t * B) implies actual
-    < (bits_of_t + 5) * B + headers; sized with margin on top of that."""
+def max_frame_words(
+    block_size: int, n_wire: int, depth: int, ratio: float | None = None
+) -> int:
+    """Static per-frame word capacity.
+
+    ``ratio=None`` gives the provable worst case: actual Rice bits can
+    exceed the flake estimate by at most ~part_size/2 per partition (the
+    estimate is a truncated mean), so estimate < verbatim(bits_of_t * B)
+    implies actual < (bits_of_t + 6) * B + headers.
+
+    A float ratio gives a practical capacity of ``ratio`` x the frame's raw
+    PCM bytes + header slack — packing and CRC cost scale with this, and
+    overflowing frames are detected and re-run at the exact capacity.
+    """
+    if ratio is not None:
+        raw = block_size * n_wire * max(depth, 8) // 8
+        per_ch_overhead = 8 + 32 * 34 + 9 + 32 * 15 + 6 + 256 * 10
+        total_bits = (
+            MAX_HEADER_BYTES * 8
+            + int(raw * 8 * ratio)
+            + n_wire * per_ch_overhead
+            + 64
+        )
+        return (total_bits + 31) // 32
     bits_of_t = 64 if depth == 32 else 32
     per_ch = (
         8 + 32 * 34 + 9 + 32 * 15 + 6 + 256 * 10

@@ -28,6 +28,19 @@ def _static_tables(max_bytes: int):
     return t1, inv, r24
 
 
+def _tree_xor(x: jnp.ndarray) -> jnp.ndarray:
+    """XOR-reduce the last axis with a halving tree of elementwise xors."""
+    n = x.shape[-1]
+    while n > 1:
+        if n % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], -1)
+            n += 1
+        half = n // 2
+        x = x[..., :half] ^ x[..., half:]
+        n = half
+    return x[..., 0]
+
+
 def _gf2_mulmod16_vec(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Vectorized (a * b) mod G over GF(2) for 16-bit operands (u32 in/out)."""
     acc = jnp.zeros_like(a)
@@ -59,12 +72,14 @@ def crc16_words(words: jnp.ndarray, byte_len: jnp.ndarray) -> jnp.ndarray:
     p = jnp.zeros((n, max_bytes), jnp.uint32)
     for i in range(8):
         p = p ^ jnp.where((b >> i) & 1 == 1, t << i, 0)
-    contrib = (p & jnp.uint32(0xFFFF)) ^ jnp.asarray(r24_np.astype(np.uint32))[
-        (p >> 16).astype(jnp.int64)
-    ]
-    crc_full = jax.lax.reduce(
-        contrib, np.uint32(0), jax.lax.bitwise_xor, (1,)
-    )
+    # reduce the 23-bit product mod G bitwise (a 128-entry table gather
+    # lowers as per-element gathers on TPU; 7 selects stay on the VPU)
+    for i in range(22, 15, -1):
+        p = jnp.where((p >> i) & 1 == 1, p ^ jnp.uint32(CRC16_POLY << (i - 16)), p)
+    contrib = p & jnp.uint32(0xFFFF)
+    # xor-reduce via halving tree: custom lax.reduce computations can
+    # serialize on TPU; log2(maxB) elementwise xors stay on the VPU
+    crc_full = _tree_xor(contrib)
 
     # cancel the zero padding: multiply by x^(-8 * (maxB - L)) mod G
     pad = (max_bytes - byte_len).astype(jnp.int64)
