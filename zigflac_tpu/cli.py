@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="decode the output and verify CRCs + MD5 round-trip",
     )
     p.add_argument("--stats", action="store_true", help="print throughput stats")
+    p.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="dump a jax.profiler trace of the encode to DIR (plus stage "
+        "timings to stderr)",
+    )
     return p
 
 
@@ -64,12 +69,24 @@ def main(argv=None) -> int:
             channels="stereo_auto" if wav.channels == 2 else wav.channels,
             **cfg_kwargs,
         )
+        profiler = None
+        if args.profile:
+            import jax
+
+            jax.profiler.start_trace(args.profile)
+            profiler = jax
         t0 = time.perf_counter()
         encode_file(args.input, args.output, config=cfg, backend=args.backend)
         dt = time.perf_counter() - t0
+        if profiler is not None:
+            profiler.profiler.stop_trace()
+            print(f"profile trace written to {args.profile}", file=sys.stderr)
     except WavFormatError as e:
         print(f"format: flac does not support this wav format ({e})", file=sys.stderr)
         return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -29,7 +29,8 @@ class BitWriter:
         """Write the low ``nbits`` bits of ``value`` (MSB first)."""
         if nbits == 0:
             return
-        value &= (1 << nbits) - 1
+        nbits = int(nbits)
+        value = int(value) & ((1 << nbits) - 1)  # int(): numpy scalars wrap
         pos = self._bitlen
         self._bitlen += nbits
         # grow buffer
@@ -54,7 +55,7 @@ class BitWriter:
     def write_zeros(self, nbits: int) -> None:
         if nbits == 0:
             return
-        self._bitlen += nbits
+        self._bitlen += int(nbits)
         need = (self._bitlen + 7) // 8
         if len(self._buf) < need:
             self._buf.extend(b"\x00" * (need - len(self._buf)))
