@@ -295,7 +295,41 @@ fail:
   return nullptr;
 }
 
+// assemble_ranges(stream_bytes, word_offsets_i64, byte_lens_i64) -> bytes
+// Tightens a word-aligned concatenated frame stream: frame f's bytes start
+// at stream[4*woff[f]] and run byte_lens[f]; drop the <=3 pad bytes between.
+static PyObject* py_assemble_ranges(PyObject*, PyObject* args) {
+  Py_buffer stream, offs, lens;
+  if (!PyArg_ParseTuple(args, "y*y*y*", &stream, &offs, &lens)) return nullptr;
+  size_t nframes = (size_t)lens.len / 8;
+  const int64_t* O = (const int64_t*)offs.buf;
+  const int64_t* L = (const int64_t*)lens.buf;
+  size_t total = 0;
+  for (size_t i = 0; i < nframes; i++) total += (size_t)L[i];
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)total);
+  if (!out) {
+    PyBuffer_Release(&stream);
+    PyBuffer_Release(&offs);
+    PyBuffer_Release(&lens);
+    return nullptr;
+  }
+  uint8_t* dst = (uint8_t*)PyBytes_AS_STRING(out);
+  const uint8_t* src = (const uint8_t*)stream.buf;
+  Py_BEGIN_ALLOW_THREADS
+  for (size_t i = 0; i < nframes; i++) {
+    std::memcpy(dst, src + 4 * (size_t)O[i], (size_t)L[i]);
+    dst += (size_t)L[i];
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&stream);
+  PyBuffer_Release(&offs);
+  PyBuffer_Release(&lens);
+  return out;
+}
+
 static PyMethodDef methods[] = {
+    {"assemble_ranges", py_assemble_ranges, METH_VARARGS,
+     "tighten a word-aligned frame stream into exact concatenation"},
     {"md5", py_md5, METH_VARARGS, "MD5 digest of a byte buffer"},
     {"crc16", py_crc16, METH_VARARGS, "CRC-16/UMTS (poly 0x18005, init 0)"},
     {"crc8", py_crc8, METH_VARARGS, "CRC-8/SMBUS (poly 0x07, init 0)"},

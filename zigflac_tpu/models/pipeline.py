@@ -30,7 +30,7 @@ from ..metadata import StreamInfo
 from ..utils.config import EncoderConfig
 from ..ops.analyze import plan_frames
 from ..ops.bitpack import (
-    compact_stream,
+    compact_stream_aligned,
     deposit_crc16,
     max_frame_words,
     pack_frames,
@@ -48,6 +48,33 @@ CAPACITY_LADDER = ((0.75, 1.25), (1.15, None))
 
 def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
+
+
+def _collect_aligned(out, nreal: int, frame_cap: int):
+    """Fetch one batch's word-aligned compact stream and tighten it to the
+    exact frame-byte concatenation. None on capacity overflow."""
+    from ..native import assemble_ranges
+
+    stream, fsize, total_words = out
+    fsz = np.asarray(fsize)[:nreal].astype(np.int64)
+    if int(fsz.max()) > frame_cap:
+        return None  # some frame out-sized its per-frame word budget
+    wcnt = (fsz + 3) >> 2
+    woff = np.cumsum(wcnt) - wcnt
+    need = int(woff[-1] + wcnt[-1])
+    # real frames are the stream prefix; padded tail frames may overflow
+    if need > stream.shape[0]:
+        return None
+    # fetch only the used pages (fixed-size slices keep shapes static, so
+    # the page-slice programs compile once; d2h moves ~actual bytes)
+    P = 1 << 16  # 64Ki words = 256 KB per page
+    npages = (need + P - 1) // P
+    if npages * P >= stream.shape[0]:
+        sw = np.asarray(stream)[:need]
+    else:
+        parts = [np.asarray(stream[i * P : (i + 1) * P]) for i in range(npages)]
+        sw = np.concatenate(parts)[:need]
+    return assemble_ranges(sw.astype(">u4").tobytes(), woff, fsz), fsz
 
 
 class DevicePipeline:
@@ -120,25 +147,11 @@ class DevicePipeline:
         chunks: List[bytes] = []
         sizes: List[np.ndarray] = []
         for start, chunk, nreal, fns, out, frame_cap in pending:
-            stream, fsize, total = out
-            total_i = int(total)
-            fsz = np.asarray(fsize)
-            if nreal < fsz.shape[0]:
-                # padded frames sit at the tail of the stream; drop them
-                total_i = int(fsz[:nreal].sum())
-                fsz = fsz[:nreal]
-            # the real frames are the stream prefix; accept if that prefix
-            # fits even when padded tail frames overflowed the capacity,
-            # and no real frame out-sized its per-frame word budget
-            if total_i <= stream.shape[0] and int(fsz.max()) <= frame_cap:
-                chunks.append(np.asarray(stream)[:total_i].tobytes())
-                sizes.append(fsz.astype(np.int64))
-            else:
-                chunks_b, sizes_b = self._encode_overflow(
-                    chunk, nreal, fns, c, B, info
-                )
-                chunks.append(chunks_b)
-                sizes.append(sizes_b)
+            got = _collect_aligned(out, nreal, frame_cap)
+            if got is None:
+                got = self._encode_overflow(chunk, nreal, fns, c, B, info)
+            chunks.append(got[0])
+            sizes.append(got[1])
         return b"".join(chunks), (
             np.concatenate(sizes) if sizes else np.zeros(0, np.int64)
         )
@@ -146,11 +159,10 @@ class DevicePipeline:
     def _encode_overflow(self, chunk, nreal, fns, c, B, info):
         """Capacity-ladder fallback for batches that out-size tier 0."""
         fn1, frame_cap = self._compact_fn(c, B, info.sample_rate, 1, chunk.shape[0])
-        stream, fsize, total = fn1(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
-        fsz = np.asarray(fsize)[:nreal].astype(np.int64)
-        total_i = int(fsz.sum())
-        if total_i <= stream.shape[0] and int(fsz.max()) <= frame_cap:
-            return np.asarray(stream)[:total_i].tobytes(), fsz
+        out = fn1(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
+        got = _collect_aligned(out, nreal, frame_cap)
+        if got is not None:
+            return got
         # exact worst-case: padded words path
         fnw = self._encode_batch_fn(chunk.shape[0], c, B, info.sample_rate)
         words, total_bits, crcs = fnw(
@@ -276,5 +288,5 @@ def _encode_batch_compact(
     byte_len = (total_bits + 7) >> 3
     words = deposit_crc16(words, byte_len, crcs)
     frame_bytes = byte_len + 2
-    stream, total = compact_stream(words, frame_bytes, capb)
-    return stream, frame_bytes, total
+    stream, total_words = compact_stream_aligned(words, frame_bytes, capb // 4)
+    return stream, frame_bytes, total_words

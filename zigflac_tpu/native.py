@@ -66,6 +66,20 @@ def deinterleave(data, channels: int, bytes_per_sample: int, bit_depth: int,
     return s
 
 
+def assemble_ranges(stream_words_be: bytes, word_offsets: np.ndarray,
+                    byte_lens: np.ndarray) -> bytes:
+    """Word-aligned concatenated frame stream -> exact byte concatenation
+    (drops the <=3 alignment pad bytes after each frame)."""
+    offs = np.ascontiguousarray(word_offsets.astype(np.int64))
+    lens = np.ascontiguousarray(byte_lens.astype(np.int64))
+    if _n is not None:
+        return _n.assemble_ranges(stream_words_be, offs.tobytes(), lens.tobytes())
+    out = bytearray()
+    for o, L in zip(offs.tolist(), lens.tolist()):
+        out += stream_words_be[4 * o : 4 * o + L]
+    return bytes(out)
+
+
 def assemble_frames(words: np.ndarray, byte_lens: np.ndarray,
                     crcs: np.ndarray) -> bytes:
     """Padded per-frame words (u32 MSB-first) + lengths + CRC-16s -> one

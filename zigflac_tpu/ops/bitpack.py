@@ -275,12 +275,30 @@ def pack_symbols(
 
     w0 = (d_start >> 5).astype(jnp.int32)
     r = (d_start & 31).astype(jnp.int32)
-    shift = 64 - r - sym.nbv
-    shifted = jnp.where(
-        sym.nbv > 0, sym.val << _u64(jnp.clip(shift, 0, 63)), jnp.uint64(0)
-    )
-    hi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
-    lo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    if sym.val.dtype == jnp.uint32:
+        # <=32-bit deposits: split across the two words in pure u32
+        v = sym.val
+        over = sym.nbv - (32 - r)  # bits spilling into word w0+1
+        hi = jnp.where(
+            over > 0,
+            v >> jnp.clip(over, 0, 31).astype(jnp.uint32),
+            v << jnp.clip(-over, 0, 31).astype(jnp.uint32),
+        )
+        lo = jnp.where(
+            over > 0,
+            v << jnp.clip(32 - over, 0, 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        live = sym.nbv > 0
+        hi = jnp.where(live, hi, 0)
+        lo = jnp.where(live, lo, 0)
+    else:
+        shift = 64 - r - sym.nbv
+        shifted = jnp.where(
+            sym.nbv > 0, sym.val << _u64(jnp.clip(shift, 0, 63)), jnp.uint64(0)
+        )
+        hi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
 
     num_segments = max_words + 1
 
@@ -342,9 +360,14 @@ def pack_frames(
                 lpc_precision=lpc_precision,
             )
         )
+    # deposits are <= 32 bits except the 33-bit side-channel samples of
+    # 32-bit-depth stereo; narrow values halve the symbol-array traffic and
+    # keep the deposit splitting in pure u32
+    max_ss = 33 if (plan.planes.dtype == jnp.int64) else 32
+    vdt = jnp.uint64 if max_ss > 32 else jnp.uint32
     sym = SymbolBlock(
         nb=jnp.concatenate([b.nb for b in blocks], axis=1),
-        val=jnp.concatenate([b.val for b in blocks], axis=1),
+        val=jnp.concatenate([b.val.astype(vdt) for b in blocks], axis=1),
         nbv=jnp.concatenate([b.nbv for b in blocks], axis=1),
     )
     return pack_symbols(sym, max_words)
@@ -364,6 +387,44 @@ def deposit_crc16(
         sh = (8 * (3 - (pos & 3))).astype(jnp.uint32)
         words = words.at[rows, w].add((byte_val << sh).astype(jnp.uint32))
     return words
+
+
+def compact_stream_aligned(
+    words: jnp.ndarray, frame_bytes: jnp.ndarray, capw: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Word-aligned compaction: concatenate each frame's used words (its
+    bytes rounded up to whole u32 words) into one dense u32 buffer.
+
+    Keeping frames word-aligned makes this a single flat gather — the host
+    then drops the <=3 pad bytes per frame during its memcpy assembly. Output
+    word q belongs to frame f(q) = #frame-starts <= q (boundary scatter +
+    cumsum); its in-frame word index comes from a second delta-scatter —
+    no per-element table lookups anywhere.
+
+    Returns (stream u32 [capw] MSB-first, total_words i32). Caller checks
+    total_words <= capw.
+    """
+    n, W = words.shape
+    wcnt = (frame_bytes + 3) >> 2  # words per frame
+    woff = jnp.cumsum(wcnt) - wcnt
+    total = woff[-1] + wcnt[-1]
+
+    marks = jnp.zeros((capw,), jnp.int32)
+    starts = woff[1:]
+    # frame start offsets (frame row deltas are all 1; in-frame index needs
+    # q - woff[f], distributed via delta scatter)
+    marks = marks.at[starts].add(1, mode="drop")
+    f = jnp.cumsum(marks)  # frame index per output word
+    off = jnp.zeros((capw,), jnp.int32)
+    woff_delta = woff - jnp.pad(woff, (1, 0))[:n]
+    off = off.at[jnp.where(jnp.arange(n) == 0, 0, woff)].add(woff_delta, mode="drop")
+    boff_q = jnp.cumsum(off)  # woff[f] per output word
+    q = jnp.arange(capw, dtype=jnp.int32)
+    j = q - boff_q
+    flat = words.reshape(-1)
+    out = flat[(f * W + j).astype(jnp.int32)]
+    out = jnp.where(q < total, out, 0)
+    return out.astype(jnp.uint32), total.astype(jnp.int32)
 
 
 def compact_stream(
