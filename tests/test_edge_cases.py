@@ -50,7 +50,7 @@ def _golden_channel_bytes(kind, order, method, part_order, ss, params,
 
 def _device_channel_bytes(kind, order, method, part_order, ss, params,
                           plane, residuals, B):
-    sym = channel_symbols(
+    nb_full, front_cnt, dep_val, dep_nbv, side = channel_symbols(
         jnp.asarray([kind], jnp.int32),
         jnp.asarray([order], jnp.int32),
         jnp.asarray([method], jnp.int32),
@@ -64,14 +64,36 @@ def _device_channel_bytes(kind, order, method, part_order, ss, params,
         B,
         8,
     )
-    w = BitWriter()
-    nb = np.asarray(sym.nb)[0]
-    val = np.asarray(sym.val)[0]
-    nbv = np.asarray(sym.nbv)[0]
-    for tnb, v, vb in zip(nb.tolist(), val.tolist(), nbv.tolist()):
-        w.write_zeros(tnb - vb)
-        w.write(vb, v)
-    return w.bytes_so_far(), w.bit_length
+    nb = np.asarray(nb_full)[0]
+    cum = np.cumsum(nb)
+    total_bits = int(cum[-1])
+    buf = bytearray((total_bits + 7) // 8)
+
+    def deposit(end_bit, v, vb):
+        if vb == 0:
+            return
+        d_start = int(end_bit) - int(vb)
+        end = d_start + int(vb)
+        byte0, byte1 = d_start // 8, (end + 7) // 8
+        span = (byte1 - byte0) * 8
+        chunk = int.from_bytes(buf[byte0:byte1], "big")
+        chunk |= (int(v) & ((1 << int(vb)) - 1)) << (span - (end - byte0 * 8))
+        buf[byte0:byte1] = chunk.to_bytes(byte1 - byte0, "big")
+
+    dep_cum = np.concatenate([cum[:front_cnt], cum[front_cnt + 1 :: 2][:B]])
+    for e, v, vb in zip(
+        dep_cum.tolist(),
+        np.asarray(dep_val)[0].tolist(),
+        np.asarray(dep_nbv)[0].tolist(),
+    ):
+        deposit(e, v, vb)
+    for slot, v, vb in zip(
+        np.asarray(side.slot)[0].tolist(),
+        np.asarray(side.val)[0].tolist(),
+        np.asarray(side.nbv)[0].tolist(),
+    ):
+        deposit(cum[slot], v, vb)
+    return bytes(buf), total_bits
 
 
 def synth_case(kind, order, method, part_order, ss, params, plane, residuals, B):

@@ -139,3 +139,21 @@ def test_compression_happens(rng):
     write_wav(buf, samples, 44100, 16)
     flac, _ = roundtrip(samples, 44100, 16)
     assert len(flac) < 0.7 * len(buf.getvalue()), "sine should compress well"
+
+
+def test_encode_to_file_matches_in_memory(rng):
+    """The streaming two-pass seek-back protocol (reference
+    src/wav2flac.zig:30-47) produces the identical byte stream."""
+    import io as _io
+
+    from zigflac_tpu.models.encoder import Encoder, encode_to_file
+    from zigflac_tpu.metadata import StreamInfo
+    from zigflac_tpu.utils.config import EncoderConfig
+
+    s = make_signal(rng, 2 * 4096 + 55, channels=2, depth=16, kind="mixed")
+    cfg = EncoderConfig.default(2)
+    i1 = StreamInfo(44100, 2, 16, s.shape[1], 4096, 4096)
+    i2 = StreamInfo(44100, 2, 16, s.shape[1], 4096, 4096)
+    buf = _io.BytesIO()
+    encode_to_file(buf, s, i1, cfg, backend="golden")
+    assert buf.getvalue() == Encoder(cfg, 16, backend="golden").encode_stream(s, i2)

@@ -137,6 +137,66 @@ class Encoder:
         )
 
 
+def encode_to_file(
+    out_file,
+    samples: np.ndarray,
+    info: StreamInfo,
+    config: Optional[EncoderConfig] = None,
+    backend: str = "auto",
+    raw_pcm_bytes: Optional[bytes] = None,
+) -> StreamInfo:
+    """Streaming file-output variant of the reference's two-pass protocol
+    (src/wav2flac.zig:30-47): write a zeroed header region, stream the
+    VorbisComment + frames, then seek back and write the finalized
+    signature + STREAMINFO (MD5, min/max frame sizes).
+
+    ``out_file`` must be a seekable binary file object.
+    """
+    from ..metadata import HEADER_SIZE
+
+    cfg = config or EncoderConfig.default(samples.shape[0])
+    enc = Encoder(cfg, info.bit_depth, backend=backend)
+
+    out_file.write(b"\x00" * HEADER_SIZE)  # skipHeader
+    out_file.write(vorbis_comment_block(is_last=True))
+
+    c, n = samples.shape
+    block = cfg.block_size
+    n_full = n // block
+    rem = n - n_full * block
+    sizes = np.zeros(0, dtype=np.int64)
+    if n_full:
+        batch = (
+            samples[:, : n_full * block].reshape(c, n_full, block).transpose(1, 0, 2)
+        )
+        if enc.backend == "device":
+            stream, sizes = enc._device_pipeline().encode_frames_stream(
+                batch, 0, info
+            )
+            out_file.write(stream)
+        else:
+            frames = enc.encode_frames_batch(batch, 0, info)
+            for fr in frames:
+                out_file.write(fr)
+            sizes = np.array([len(b) for b in frames], np.int64)
+    if rem:
+        planes = [samples[ch, n_full * block :] for ch in range(c)]
+        last = enc.encode_frame(planes, n_full, info)
+        out_file.write(last)
+        sizes = np.concatenate([sizes, [len(last)]])
+
+    info.update_frame_sizes(sizes)
+    if raw_pcm_bytes is None:
+        raw_pcm_bytes = _reconstruct_raw_bytes(samples, info.bit_depth)
+    info.md5 = native.md5(raw_pcm_bytes)
+
+    out_file.flush()
+    out_file.seek(0)
+    out_file.write(streaminfo_block(info, is_last=False)[: HEADER_SIZE])
+    out_file.flush()
+    return info
+
+
 def _device_available() -> bool:
     try:
         from . import pipeline  # noqa: F401

@@ -66,8 +66,10 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
     if need > stream.shape[0]:
         return None
     # fetch only the used pages (fixed-size slices keep shapes static, so
-    # the page-slice programs compile once; d2h moves ~actual bytes)
-    P = 1 << 16  # 64Ki words = 256 KB per page
+    # the page-slice programs compile once; d2h moves ~actual bytes).
+    # Page size matters on thin links: per-fetch dispatch costs ~50ms, so
+    # 4MB pages sustain ~20MB/s where 256KB pages manage ~7.
+    P = 1 << 20  # 1Mi words = 4 MB per page
     npages = (need + P - 1) // P
     if npages * P >= stream.shape[0]:
         sw = np.asarray(stream)[:need]

@@ -21,7 +21,6 @@ whole analysis jits into one fused XLA program.
 
 from __future__ import annotations
 
-import math
 from typing import List, NamedTuple
 
 import jax

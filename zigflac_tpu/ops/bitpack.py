@@ -37,6 +37,18 @@ class SymbolBlock(NamedTuple):
     nbv: jnp.ndarray  # i32 [N, S] deposited bits
 
 
+class SideDeposits(NamedTuple):
+    """Deposits carried outside the main symbol array (the per-partition
+    Rice params): their field widths still live in the main ``nb`` array at
+    ``slot`` (so offsets come from the one global prefix-sum), but their
+    values scatter through this compact stream — scatter cost on TPU is per
+    element, and only ~256 of the 2B interleaved slots are ever active."""
+
+    slot: jnp.ndarray  # i32 [N, P] index into the main symbol array
+    val: jnp.ndarray   # [N, P]
+    nbv: jnp.ndarray   # i32 [N, P]
+
+
 def _u64(x) -> jnp.ndarray:
     return x.astype(jnp.uint64)
 
@@ -218,12 +230,26 @@ def channel_symbols(
     ind = ind.at[flat_pos.reshape(-1)].add(jnp.where(in_range, 1, 0).reshape(-1))
     p_slot = is_pred[:, None] & (ind.reshape(n, B) > 0)
     p_nb = jnp.where(p_slot, jnp.where(r_esc, param_len + 5, param_len), 0)
-    p_val = jnp.where(
-        r_esc, (param_i << 5) | r_bps, jnp.where(r_fallback, 30, param_i)
-    )
+    # the param slots keep their widths in the main array (for offsets) but
+    # deposit through the compact side stream (see SideDeposits)
     p_sym = SymbolBlock(
-        nb=p_nb, val=jnp.where(p_slot, _u64(p_val), 0), nbv=p_nb
+        nb=p_nb,
+        val=jnp.zeros((n, B), jnp.uint64),
+        nbv=jnp.zeros((n, B), jnp.int32),
     )
+    p_active256 = is_pred[:, None] & in_range
+    side_nb256 = jnp.where(
+        p_active256, jnp.where(esc_live256, param_len + 5, param_len), 0
+    )
+    side_val256 = jnp.where(
+        esc_live256,
+        (params_i << 5) | bps,
+        jnp.where(fallback256, 30, params_i),
+    )
+    side_val256 = jnp.where(p_active256, side_val256, 0)
+    # slot index of partition p's param within this block's symbol array
+    # (filled in by the caller with the block's global base)
+    side_slot256 = 2 * jnp.where(in_range, pos, 0)
 
     zz = _u64(zigzag_u32(residuals))
     rice_nb = (zz >> _u64(k)).astype(jnp.int64) + _u64(k).astype(jnp.int64) + 1
@@ -245,40 +271,40 @@ def channel_symbols(
     s_nbv = jnp.where(is_verb[:, None], vb_nb, jnp.where(is_const[:, None], ct_nb, fx_nbv))
     s_val = jnp.where(is_verb[:, None], vb_val, jnp.where(is_const[:, None], ct_val, fx_val))
 
-    # interleave [param_i, residual_i] -> [N, 2B]
+    # width array interleaves [param_i, residual_i] -> [N, 2B] so the one
+    # prefix-sum yields every offset; the DEPOSIT stream carries only the
+    # front symbols + residuals (params deposit via the compact side stream
+    # -- scatter cost is per element, and param slots are ~94% masked)
     inter_nb = jnp.stack([p_sym.nb, s_nb], axis=2).reshape(n, 2 * B)
-    inter_val = jnp.stack([p_sym.val, s_val], axis=2).reshape(n, 2 * B)
-    inter_nbv = jnp.stack([p_sym.nbv, s_nbv], axis=2).reshape(n, 2 * B)
 
     blocks = [hdr, warm] + lpc_blocks + [meth]
-    return SymbolBlock(
-        nb=jnp.concatenate([b.nb for b in blocks] + [inter_nb], axis=1),
-        val=jnp.concatenate([b.val for b in blocks] + [inter_val], axis=1),
-        nbv=jnp.concatenate([b.nbv for b in blocks] + [inter_nbv], axis=1),
+    front_cnt = 1 + max_warmup + (1 + lpc_order if lpc_order else 0) + 1
+    side = SideDeposits(
+        slot=side_slot256 + front_cnt,
+        val=side_val256,
+        nbv=side_nb256,
     )
+    nb_full = jnp.concatenate([b.nb for b in blocks] + [inter_nb], axis=1)
+    dep_val = jnp.concatenate([b.val for b in blocks] + [s_val], axis=1)
+    dep_nbv = jnp.concatenate([b.nbv for b in blocks] + [s_nbv], axis=1)
+    return nb_full, front_cnt, dep_val, dep_nbv, side
 
 
-def pack_symbols(
-    sym: SymbolBlock, max_words: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(words u32 [N, W] MSB-first, total_bits i32 [N]).
-
-    Exclusive prefix-sum over field widths -> per-symbol deposit start; each
-    deposit becomes (hi, lo) u32 contributions to words w0, w0+1 via one u64
-    shift; two sorted segment-sums accumulate them (disjoint bits => add==or).
-    """
-    n, s = sym.nb.shape
-    cum = jnp.cumsum(sym.nb, axis=1, dtype=jnp.int32)
-    total_bits = cum[:, -1]
-    o_end = cum  # field end offsets
-    d_start = o_end - sym.nbv  # deposit start (value is right-aligned)
-
+def deposit_words(
+    d_cum: jnp.ndarray,
+    val: jnp.ndarray,
+    nbv: jnp.ndarray,
+    max_words: int,
+) -> jnp.ndarray:
+    """Deposit a stream of right-aligned values whose fields END at bit
+    offsets ``d_cum`` into u32 words. Offsets must be non-decreasing and the
+    deposited bit ranges disjoint (two sorted segment-sums; add == or)."""
+    d_start = d_cum - nbv
     w0 = (d_start >> 5).astype(jnp.int32)
     r = (d_start & 31).astype(jnp.int32)
-    if sym.val.dtype == jnp.uint32:
-        # <=32-bit deposits: split across the two words in pure u32
-        v = sym.val
-        over = sym.nbv - (32 - r)  # bits spilling into word w0+1
+    if val.dtype == jnp.uint32:
+        v = val
+        over = nbv - (32 - r)  # bits spilling into word w0+1
         hi = jnp.where(
             over > 0,
             v >> jnp.clip(over, 0, 31).astype(jnp.uint32),
@@ -289,13 +315,13 @@ def pack_symbols(
             v << jnp.clip(32 - over, 0, 31).astype(jnp.uint32),
             jnp.uint32(0),
         )
-        live = sym.nbv > 0
+        live = nbv > 0
         hi = jnp.where(live, hi, 0)
         lo = jnp.where(live, lo, 0)
     else:
-        shift = 64 - r - sym.nbv
+        shift = 64 - r - nbv
         shifted = jnp.where(
-            sym.nbv > 0, sym.val << _u64(jnp.clip(shift, 0, 63)), jnp.uint64(0)
+            nbv > 0, val << _u64(jnp.clip(shift, 0, 63)), jnp.uint64(0)
         )
         hi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
         lo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
@@ -311,66 +337,7 @@ def pack_symbols(
         )
         return (a + b)[:max_words]
 
-    words = jax.vmap(pack_one)(w0, hi, lo)
-    return words.astype(jnp.uint32), total_bits
-
-
-def header_symbols(
-    header_bytes: jnp.ndarray, header_len: jnp.ndarray
-) -> SymbolBlock:
-    n = header_bytes.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, MAX_HEADER_BYTES), 1)
-    active = idx < header_len[:, None]
-    nb = jnp.where(active, 8, 0)
-    return SymbolBlock(
-        nb=nb, val=jnp.where(active, _u64(header_bytes), 0), nbv=nb
-    )
-
-
-def pack_frames(
-    plan: FrameWirePlan,
-    frame_numbers: jnp.ndarray,
-    hstatic: HeaderStatic,
-    block_size: int,
-    max_rice_order: int,
-    max_words: int,
-    lpc_order: int = 0,
-    lpc_precision: int = 14,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full frames (header + subframes) -> (words u32 [N, W], total_bits)."""
-    hb, hlen = build_headers(frame_numbers, plan.channels_code, hstatic)
-    blocks = [header_symbols(hb, hlen)]
-    n_wire = plan.kind.shape[1]
-    for c in range(n_wire):
-        blocks.append(
-            channel_symbols(
-                plan.kind[:, c],
-                plan.order[:, c],
-                plan.method[:, c],
-                plan.part_order[:, c],
-                plan.sample_size[:, c],
-                plan.params[:, c],
-                plan.planes[:, c],
-                plan.residuals[:, c],
-                plan.qcoeffs[:, c],
-                plan.qshift[:, c],
-                block_size,
-                max_rice_order,
-                lpc_order=lpc_order,
-                lpc_precision=lpc_precision,
-            )
-        )
-    # deposits are <= 32 bits except the 33-bit side-channel samples of
-    # 32-bit-depth stereo; narrow values halve the symbol-array traffic and
-    # keep the deposit splitting in pure u32
-    max_ss = 33 if (plan.planes.dtype == jnp.int64) else 32
-    vdt = jnp.uint64 if max_ss > 32 else jnp.uint32
-    sym = SymbolBlock(
-        nb=jnp.concatenate([b.nb for b in blocks], axis=1),
-        val=jnp.concatenate([b.val.astype(vdt) for b in blocks], axis=1),
-        nbv=jnp.concatenate([b.nbv for b in blocks], axis=1),
-    )
-    return pack_symbols(sym, max_words)
+    return jax.vmap(pack_one)(w0, hi, lo).astype(jnp.uint32)
 
 
 def deposit_crc16(
@@ -411,8 +378,6 @@ def compact_stream_aligned(
 
     marks = jnp.zeros((capw,), jnp.int32)
     starts = woff[1:]
-    # frame start offsets (frame row deltas are all 1; in-frame index needs
-    # q - woff[f], distributed via delta scatter)
     marks = marks.at[starts].add(1, mode="drop")
     f = jnp.cumsum(marks)  # frame index per output word
     off = jnp.zeros((capw,), jnp.int32)
@@ -427,33 +392,101 @@ def compact_stream_aligned(
     return out.astype(jnp.uint32), total.astype(jnp.int32)
 
 
-def compact_stream(
-    words: jnp.ndarray, frame_bytes: jnp.ndarray, capb: int
+def header_symbols(
+    header_bytes: jnp.ndarray, header_len: jnp.ndarray
+) -> SymbolBlock:
+    n = header_bytes.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, MAX_HEADER_BYTES), 1)
+    active = idx < header_len[:, None]
+    nb = jnp.where(active, 8, 0)
+    return SymbolBlock(
+        nb=nb, val=jnp.where(active, _u64(header_bytes), 0), nbv=nb
+    )
+
+
+def pack_frames(
+    plan: FrameWirePlan,
+    frame_numbers: jnp.ndarray,
+    hstatic: HeaderStatic,
+    block_size: int,
+    max_rice_order: int,
+    max_words: int,
+    lpc_order: int = 0,
+    lpc_precision: int = 14,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Concatenate every frame's bytes (already CRC-footed) into one dense
-    u8 stream on device, so only ~compressed-size bytes cross the d2h link.
+    """Full frames (header + subframes) -> (words u32 [N, W], total_bits).
 
-    Byte q of the output belongs to frame f(q) = #frame-starts <= q
-    (computed by scattering 1s at frame boundaries + a cumsum, no binary
-    search); its byte index within the frame selects the source word/byte.
-
-    Returns (stream u8 [capb], total_bytes i32 scalar). The caller must
-    check total_bytes <= capb (overflow means re-run at higher capacity).
+    One prefix-sum over the full width array yields every bit offset; the
+    deposits then flow through three compact streams: the header+front+
+    residual stream (width-array columns minus the interleaved param slots),
+    and the per-partition param side stream.
     """
-    n, W = words.shape
-    boff = jnp.cumsum(frame_bytes) - frame_bytes  # exclusive prefix
-    total = boff[-1] + frame_bytes[-1]
+    B = block_size
+    hb, hlen = build_headers(frame_numbers, plan.channels_code, hstatic)
+    hdr = header_symbols(hb, hlen)
+    nb_parts = [hdr.nb]
+    dep_val_parts = [hdr.val]
+    dep_nbv_parts = [hdr.nbv]
+    sides = []
+    layouts = []  # (base, front_cnt) per channel block in the width array
+    base = hdr.nb.shape[1]
+    n_wire = plan.kind.shape[1]
+    for c in range(n_wire):
+        nb_full, front_cnt, dep_val, dep_nbv, side = channel_symbols(
+            plan.kind[:, c],
+            plan.order[:, c],
+            plan.method[:, c],
+            plan.part_order[:, c],
+            plan.sample_size[:, c],
+            plan.params[:, c],
+            plan.planes[:, c],
+            plan.residuals[:, c],
+            plan.qcoeffs[:, c],
+            plan.qshift[:, c],
+            block_size,
+            max_rice_order,
+            lpc_order=lpc_order,
+            lpc_precision=lpc_precision,
+        )
+        nb_parts.append(nb_full)
+        dep_val_parts.append(dep_val)
+        dep_nbv_parts.append(dep_nbv)
+        sides.append(side._replace(slot=side.slot + base))
+        layouts.append((base, front_cnt))
+        base += nb_full.shape[1]
 
-    marks = jnp.zeros((capb,), jnp.int32)
-    marks = marks.at[boff[1:]].add(1, mode="drop")
-    f = jnp.cumsum(marks)  # frame index per output byte
-    q = jnp.arange(capb, dtype=jnp.int32)
-    j = q - boff[f]  # byte index within frame
-    flat = words.reshape(-1)
-    w = flat[(f * W + (j >> 2)).astype(jnp.int32)]
-    byte = (w >> ((8 * (3 - (j & 3))).astype(jnp.uint32))) & jnp.uint32(0xFF)
-    stream = jnp.where(q < total, byte, 0).astype(jnp.uint8)
-    return stream, total.astype(jnp.int32)
+    nb = jnp.concatenate(nb_parts, axis=1)
+    cum = jnp.cumsum(nb, axis=1, dtype=jnp.int32)
+    total_bits = cum[:, -1]
+
+    # deposit-stream offsets: header columns, then per channel the front
+    # columns + the odd (residual) interleave columns — static strided
+    # slices of the prefix-sum, no gathers
+    cum_parts = [cum[:, : MAX_HEADER_BYTES]]
+    for b0, front_cnt in layouts:
+        cum_parts.append(cum[:, b0 : b0 + front_cnt])
+        r0 = b0 + front_cnt + 1
+        cum_parts.append(cum[:, r0 : r0 + 2 * B : 2])
+    dep_cum = jnp.concatenate(cum_parts, axis=1)
+
+    # deposits are <= 32 bits except the 33-bit side-channel samples of
+    # 32-bit-depth stereo; narrow values halve traffic and keep the
+    # splitting in pure u32
+    vdt = jnp.uint64 if plan.planes.dtype == jnp.int64 else jnp.uint32
+    dep_val = jnp.concatenate([v.astype(vdt) for v in dep_val_parts], axis=1)
+    dep_nbv = jnp.concatenate(dep_nbv_parts, axis=1)
+    words = deposit_words(dep_cum, dep_val, dep_nbv, max_words)
+
+    side = SideDeposits(
+        slot=jnp.concatenate([s.slot for s in sides], axis=1),
+        val=jnp.concatenate([s.val for s in sides], axis=1),
+        nbv=jnp.concatenate([s.nbv for s in sides], axis=1),
+    )
+    side_cum = jnp.take_along_axis(cum, side.slot.astype(jnp.int64), 1)
+    words = words + deposit_words(
+        side_cum, side.val.astype(jnp.uint32), side.nbv, max_words
+    )
+    return words, total_bits
 
 
 def max_frame_words(
