@@ -157,3 +157,18 @@ def test_encode_to_file_matches_in_memory(rng):
     buf = _io.BytesIO()
     encode_to_file(buf, s, i1, cfg, backend="golden")
     assert buf.getvalue() == Encoder(cfg, 16, backend="golden").encode_stream(s, i2)
+
+
+def test_vorbis_tags_roundtrip(rng):
+    """Vorbis comment tags (reference queued feature, readme.md:31)."""
+    samples = make_signal(rng, 3000, channels=2, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    flac = encode_wav_bytes(
+        buf.getvalue(), backend="golden",
+        tags=[("TITLE", "test song"), ("ARTIST", "ziggy=stardust")],
+    )
+    dec = decode_flac(flac)
+    assert dec.tags == [("TITLE", "test song"), ("ARTIST", "ziggy=stardust")]
+    assert dec.vendor == b"toastori FLAC 0.0.0"
+    np.testing.assert_array_equal(dec.samples, samples.astype(np.int64))

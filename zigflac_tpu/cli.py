@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--stats", action="store_true", help="print throughput stats")
     p.add_argument(
+        "--tag", action="append", default=[], metavar="NAME=VALUE",
+        help="add a Vorbis comment tag (repeatable)",
+    )
+    p.add_argument(
         "--profile", metavar="DIR", default=None,
         help="dump a jax.profiler trace of the encode to DIR (plus stage "
         "timings to stderr)",
@@ -75,8 +79,17 @@ def main(argv=None) -> int:
 
             jax.profiler.start_trace(args.profile)
             profiler = jax
+        tags = []
+        for t in args.tag:
+            if "=" not in t:
+                print(f"error: --tag expects NAME=VALUE, got {t!r}", file=sys.stderr)
+                return 1
+            tags.append(tuple(t.split("=", 1)))
         t0 = time.perf_counter()
-        encode_file(args.input, args.output, config=cfg, backend=args.backend)
+        encode_file(
+            args.input, args.output, config=cfg, backend=args.backend,
+            tags=tags or None,
+        )
         dt = time.perf_counter() - t0
         if profiler is not None:
             profiler.profiler.stop_trace()

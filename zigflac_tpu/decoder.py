@@ -55,14 +55,16 @@ class DecodedStream:
     vendor: Optional[bytes]
     frame_count: int
     md5_ok: bool
+    tags: Optional[list] = None
 
 
-def _parse_metadata(data: bytes) -> Tuple[StreamInfo, Optional[bytes], int]:
+def _parse_metadata(data: bytes):
     if data[:4] != b"fLaC":
         raise FlacDecodeError("bad signature")
     pos = 4
     info: Optional[StreamInfo] = None
     vendor: Optional[bytes] = None
+    tags: list = []
     while True:
         hdr = data[pos]
         is_last = bool(hdr & 0x80)
@@ -96,11 +98,21 @@ def _parse_metadata(data: bytes) -> Tuple[StreamInfo, Optional[bytes], int]:
         elif btype == 4:  # VorbisComment
             vlen = int.from_bytes(body[0:4], "little")
             vendor = body[4 : 4 + vlen]
+            p = 4 + vlen
+            ntags = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            for _ in range(ntags):
+                clen = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                comment = body[p : p + clen].decode("utf-8", "replace")
+                p += clen
+                if "=" in comment:
+                    tags.append(tuple(comment.split("=", 1)))
         if is_last:
             break
     if info is None:
         raise FlacDecodeError("no STREAMINFO")
-    return info, vendor, pos
+    return info, vendor, tags, pos
 
 
 def _read_utf8_number(r: BitReader) -> int:
@@ -285,7 +297,7 @@ def decode_frame(
 
 
 def decode_flac(data: bytes, check_crc: bool = True) -> DecodedStream:
-    info, vendor, pos = _parse_metadata(data)
+    info, vendor, tags, pos = _parse_metadata(data)
     chunks: List[np.ndarray] = []
     frame_count = 0
     total = 0
@@ -302,7 +314,7 @@ def decode_flac(data: bytes, check_crc: bool = True) -> DecodedStream:
         (info.channels, 0), dtype=np.int64
     )
     md5_ok = _verify_md5(samples, info)
-    return DecodedStream(info, samples, vendor, frame_count, md5_ok)
+    return DecodedStream(info, samples, vendor, frame_count, md5_ok, tags)
 
 
 def _verify_md5(samples: np.ndarray, info: StreamInfo) -> bool:

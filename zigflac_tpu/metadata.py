@@ -101,15 +101,26 @@ def streaminfo_block(info: StreamInfo, is_last: bool) -> bytes:
     )
 
 
-def vorbis_comment_block(is_last: bool, vendor: bytes = VENDOR_STRING) -> bytes:
-    """VorbisComment block, zero tags (libFLAC/Encoder.zig:409-419)."""
-    body = (
-        len(vendor).to_bytes(4, "little")
-        + vendor
-        + (0).to_bytes(4, "little")
-    )
+def vorbis_comment_block(
+    is_last: bool,
+    vendor: bytes = VENDOR_STRING,
+    tags: "list[tuple[str, str]] | None" = None,
+) -> bytes:
+    """VorbisComment block (libFLAC/Encoder.zig:409-419). The reference
+    always writes zero tags ("Vorbis Comments" is on its queued list,
+    readme.md:31); ``tags`` extends that: (name, value) pairs encoded as
+    NAME=value UTF-8 comments."""
+    body = bytearray()
+    body += len(vendor).to_bytes(4, "little")
+    body += vendor
+    tags = tags or []
+    body += len(tags).to_bytes(4, "little")
+    for name, value in tags:
+        comment = f"{name}={value}".encode("utf-8")
+        body += len(comment).to_bytes(4, "little")
+        body += comment
     return (
         bytes([block_header_byte(BlockType.VorbisComment, is_last)])
         + len(body).to_bytes(3, "big")
-        + body
+        + bytes(body)
     )

@@ -91,6 +91,7 @@ class Encoder:
         samples: np.ndarray,
         info: StreamInfo,
         raw_pcm_bytes: Optional[bytes] = None,
+        tags: Optional[List] = None,
     ) -> bytes:
         """Planar ``[channels, n] int32`` -> complete FLAC stream.
 
@@ -132,7 +133,7 @@ class Encoder:
 
         return (
             streaminfo_block(info, is_last=False)
-            + vorbis_comment_block(is_last=True)
+            + vorbis_comment_block(is_last=True, tags=tags)
             + stream
         )
 
@@ -309,6 +310,7 @@ def encode_wav_bytes(
     wav_bytes: bytes,
     config: Optional[EncoderConfig] = None,
     backend: str = "auto",
+    tags: Optional[List] = None,
 ) -> bytes:
     """The wav2flac path: WAV bytes in, FLAC bytes out
     (src/main.zig + src/wav2flac.zig)."""
@@ -318,7 +320,7 @@ def encode_wav_bytes(
     samples = wav.planar_samples()
     enc = Encoder(cfg, wav.bit_depth, backend=backend)
     return enc.encode_stream(
-        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes())
+        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags
     )
 
 
@@ -327,6 +329,7 @@ def encode_file(
     output_path: str,
     config: Optional[EncoderConfig] = None,
     backend: str = "auto",
+    tags: Optional[List] = None,
 ) -> StreamInfo:
     with open(input_path, "rb") as f:
         wav_bytes = f.read()
@@ -335,7 +338,9 @@ def encode_file(
     info = wav.flac_streaminfo(cfg.block_size)
     samples = wav.planar_samples()
     enc = Encoder(cfg, wav.bit_depth, backend=backend)
-    out = enc.encode_stream(samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()))
+    out = enc.encode_stream(
+        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags
+    )
     with open(output_path, "wb") as f:
         f.write(out)
     return info
