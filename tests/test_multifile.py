@@ -51,3 +51,17 @@ def test_multifile_golden_backend(rng):
     batched = encode_wav_bytes_many(wavs, backend="golden")
     singles = [encode_wav_bytes(w, backend="golden") for w in wavs]
     assert batched == singles
+
+
+def test_multifile_shared_config_mixed_channels(rng):
+    """A shared config adapts its channel mode per format group."""
+    from zigflac_tpu.utils.config import EncoderConfig
+
+    wavs = [
+        wav_of(make_signal(rng, 4096, 2, 16, "mixed"), 44100, 16),
+        wav_of(make_signal(rng, 4096, 1, 16, "sine"), 44100, 16),
+    ]
+    cfg = EncoderConfig(block_size=1024, prediction="fixed")
+    outs = encode_wav_bytes_many(wavs, config=cfg, backend="golden")
+    for w, f in zip(wavs, outs):
+        assert decode_flac(f).md5_ok

@@ -46,7 +46,13 @@ except Exception:  # cache is an optimization only
 from .metadata import StreamInfo, BlockType  # noqa: E402
 from .utils.config import EncoderConfig  # noqa: E402
 from .wav import WavReader, WavFormatError  # noqa: E402
-from .models.encoder import Encoder, encode_wav_bytes, encode_file  # noqa: E402
+from .models.encoder import (  # noqa: E402
+    Encoder,
+    encode_wav_bytes,
+    encode_wav_bytes_many,
+    encode_file,
+    encode_to_file,
+)
 from .decoder import decode_flac, verify_flac  # noqa: E402
 
 __version__ = "0.1.0"
@@ -59,7 +65,9 @@ __all__ = [
     "WavFormatError",
     "Encoder",
     "encode_wav_bytes",
+    "encode_wav_bytes_many",
     "encode_file",
+    "encode_to_file",
     "decode_flac",
     "verify_flac",
     "__version__",

@@ -176,11 +176,15 @@ def _synthesize(warmup: np.ndarray, residual: np.ndarray, coeffs: List[int],
     out[:order] = warmup
     o = out.tolist()
     res = residual.tolist()
+    limit = 1 << 40  # far beyond any valid 33-bit sample; corrupt input guard
     for i in range(order, n):
         pred = 0
         for j in range(order):
             pred += coeffs[j] * o[i - 1 - j]
-        o[i] = res[i - order] + (pred >> shift)
+        v = res[i - order] + (pred >> shift)
+        if not -limit < v < limit:
+            raise FlacDecodeError("synthesis diverged — corrupt stream")
+        o[i] = v
     return np.array(o, dtype=np.int64)
 
 

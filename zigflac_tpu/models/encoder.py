@@ -240,7 +240,17 @@ def encode_wav_bytes_many(
         ).append(i)
 
     for (rate, depth, channels), idxs in groups.items():
-        cfg = config or EncoderConfig.default(channels)
+        if config is None:
+            cfg = EncoderConfig.default(channels)
+        else:
+            # adapt the channel mode to each format group: a shared config
+            # can't force stereo_auto onto mono files or vice versa
+            from dataclasses import replace
+
+            cfg = replace(
+                config,
+                channels="stereo_auto" if channels == 2 else channels,
+            )
         block = cfg.block_size
         enc = Encoder(cfg, depth, backend=backend)
 
