@@ -31,17 +31,17 @@ import jax as _jax
 # both need x64 mode. Hot kernels stay in 32-bit dtypes explicitly.
 _jax.config.update("jax_enable_x64", True)
 
-# Persist compiled executables across processes — encode programs are large
-# and TPU compiles are expensive; the cache makes CLI/bench start warm.
-_cache_dir = _os.environ.get(
-    "ZIGFLAC_TPU_CACHE", _os.path.expanduser("~/.cache/zigflac_tpu_xla")
-)
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # cache is an optimization only
-    pass
+# Optional persistent compilation cache (opt-in): the axon TPU backend does
+# not support executable serialization, and the CPU AOT loader can emit
+# feature-mismatch warnings, so this is off unless explicitly requested.
+_cache_dir = _os.environ.get("ZIGFLAC_TPU_CACHE")
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization only
+        pass
 
 from .metadata import StreamInfo, BlockType  # noqa: E402
 from .utils.config import EncoderConfig  # noqa: E402

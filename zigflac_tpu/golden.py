@@ -270,22 +270,24 @@ def choose_subframe(
 
     if config.prediction == "lpc":
         # Extension (the reference stubs LPC): run the SAME jnp analysis the
-        # device pipeline uses so both backends decide identically.
-        from .ops.lpc import analyze_lpc
+        # device pipeline uses so both backends decide identically. The
+        # candidate loop mirrors the device's first-strictly-smaller rule.
+        from .ops.lpc import analyze_lpc_multi
 
-        l_res, l_q, l_shift, l_ok = analyze_lpc(
+        for o, l_res, l_q, l_shift, l_ok in analyze_lpc_multi(
             plane[None], lpc_order, config.lpc_precision
-        )
-        if bool(np.asarray(l_ok)[0]):
+        ):
+            if not bool(np.asarray(l_ok)[0]):
+                continue
             l_res = np.asarray(l_res)[0]
             l_bits, l_cfg = rice_calc_params(
                 l_res, config.max_rice_order, config.max_rice_param,
-                sample_size, lpc_order,
+                sample_size, o,
             )
-            l_cost = l_bits + 9 + lpc_order * config.lpc_precision
+            l_cost = l_bits + 9 + o * config.lpc_precision
             if l_cost < best.est_bits:
                 best = SubframeChoice(
-                    "lpc", l_cost, lpc_order, l_cfg, l_res,
+                    "lpc", l_cost, o, l_cfg, l_res,
                     qcoeffs=np.asarray(l_q)[0],
                     qshift=int(np.asarray(l_shift)[0]),
                     precision=config.lpc_precision,

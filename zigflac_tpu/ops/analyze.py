@@ -303,29 +303,32 @@ def analyze_planes(
     qcoeffs, qshift = zq, z32
 
     if config.prediction == "lpc":
-        # extension: LPC at the configured order competes with the best
-        # fixed predictor on estimated bits (+ its coefficient overhead)
-        from .lpc import analyze_lpc
+        # extension: LPC candidates at several orders (one Levinson
+        # recursion) compete with the best fixed predictor on estimated
+        # bits + coefficient overhead; first strictly-smaller cost wins
+        from .lpc import analyze_lpc_multi
 
-        l_res, l_q, l_shift, l_ok = analyze_lpc(
+        use_lpc = jnp.zeros(batch_shape, bool)
+        for o, l_res, l_q, l_shift, l_ok in analyze_lpc_multi(
             planes, lpc_order, config.lpc_precision
-        )
-        l_order = jnp.full(batch_shape, lpc_order, jnp.int32)
-        l_bits, l_method, l_po, l_params = rice_estimate(
-            l_res, l_order, B, config.max_rice_order, max_param
-        )
-        l_cost = l_bits + jnp.uint64(9 + lpc_order * config.lpc_precision)
-        use_lpc = l_ok & (l_cost < rice_bits)
-        rice_bits = jnp.where(use_lpc, l_cost, rice_bits)
-        method = jnp.where(use_lpc, l_method, method)
-        part_order = jnp.where(use_lpc, l_po, part_order)
-        params = jnp.where(use_lpc[..., None], l_params, params)
-        residuals = jnp.where(use_lpc[..., None], l_res, residuals)
-        order = jnp.where(use_lpc, l_order, order)
-        pad = [(0, 0)] * l_q.ndim
-        pad[-1] = (0, 32 - lpc_order)
-        qcoeffs = jnp.where(use_lpc[..., None], jnp.pad(l_q, pad), zq)
-        qshift = jnp.where(use_lpc, l_shift, z32)
+        ):
+            l_order = jnp.full(batch_shape, o, jnp.int32)
+            l_bits, l_method, l_po, l_params = rice_estimate(
+                l_res, l_order, B, config.max_rice_order, max_param
+            )
+            l_cost = l_bits + jnp.uint64(9 + o * config.lpc_precision)
+            better = l_ok & (l_cost < rice_bits)
+            rice_bits = jnp.where(better, l_cost, rice_bits)
+            method = jnp.where(better, l_method, method)
+            part_order = jnp.where(better, l_po, part_order)
+            params = jnp.where(better[..., None], l_params, params)
+            residuals = jnp.where(better[..., None], l_res, residuals)
+            order = jnp.where(better, l_order, order)
+            pad = [(0, 0)] * l_q.ndim
+            pad[-1] = (0, 32 - o)
+            qcoeffs = jnp.where(better[..., None], jnp.pad(l_q, pad), qcoeffs)
+            qshift = jnp.where(better, l_shift, qshift)
+            use_lpc = use_lpc | better
         pred_kind = jnp.where(use_lpc, 3, 2).astype(jnp.int32)
     else:
         use_lpc = jnp.zeros(batch_shape, bool)

@@ -58,16 +58,18 @@ def autocorrelation(planes: jnp.ndarray, order: int) -> jnp.ndarray:
     return jnp.stack(lags, axis=-1)
 
 
-def levinson_durbin(autoc: jnp.ndarray, order: int):
+def levinson_durbin(autoc: jnp.ndarray, order: int, capture=()):
     """LPC coefficients via Levinson-Durbin, float64.
 
-    Returns (coeffs [..., order], pred_err [...]): ``coeffs[j]`` multiplies
-    s[i-1-j] in the predictor.
-    """
+    Returns (coeffs [..., order], pred_err [...], captured): ``coeffs[j]``
+    multiplies s[i-1-j] in the predictor; ``captured`` maps each order in
+    ``capture`` to its intermediate coefficient array (the recursion yields
+    every lower order for free)."""
     batch = autoc.shape[:-1]
     eps = jnp.float64(1e-9)
     err = autoc[..., 0] + eps
     coeffs = jnp.zeros(batch + (order,), jnp.float64)
+    captured = {}
     for i in range(order):
         acc = autoc[..., i + 1]
         for j in range(i):
@@ -81,7 +83,9 @@ def levinson_durbin(autoc: jnp.ndarray, order: int):
         coeffs = new
         err = err * (1.0 - k * k)
         err = jnp.maximum(err, eps)
-    return coeffs, err
+        if (i + 1) in capture:
+            captured[i + 1] = coeffs[..., : i + 1]
+    return coeffs, err, captured
 
 
 class QuantizedLpc(NamedTuple):
@@ -139,7 +143,35 @@ def analyze_lpc(planes: jnp.ndarray, order: int, precision: int):
     """Full LPC analysis at one order. Returns
     (residuals i32 [..., B], qcoeffs i32 [..., order], shift i32, ok bool)."""
     autoc = autocorrelation(planes, order)
-    coeffs, _err = levinson_durbin(autoc, order)
+    coeffs, _err, _ = levinson_durbin(autoc, order)
     q = quantize_coeffs(coeffs, precision)
     res, fits = lpc_residuals(planes, q.qcoeffs, q.shift, order)
     return res, q.qcoeffs, q.shift, q.ok & fits
+
+
+def lpc_candidate_orders(lpc_order: int):
+    """Static candidate orders for the order search: powers of two up to the
+    configured max, plus the max itself — the Levinson recursion produces
+    every lower order for free, so extra candidates only pay their
+    quantization + residual + Rice-estimate cost."""
+    cands = {lpc_order}
+    o = 1
+    while o < lpc_order:
+        cands.add(o)
+        o *= 2
+    return tuple(sorted(cands))
+
+
+def analyze_lpc_multi(planes: jnp.ndarray, lpc_order: int, precision: int):
+    """LPC analysis at every candidate order (one autocorrelation + one
+    Levinson recursion). Returns a list of
+    (order, residuals i32 [..., B], qcoeffs, shift, ok) in candidate order."""
+    orders = lpc_candidate_orders(lpc_order)
+    autoc = autocorrelation(planes, lpc_order)
+    _, _err, captured = levinson_durbin(autoc, lpc_order, capture=set(orders))
+    out = []
+    for o in orders:
+        q = quantize_coeffs(captured[o], precision)
+        res, fits = lpc_residuals(planes, q.qcoeffs, q.shift, o)
+        out.append((o, res, q.qcoeffs, q.shift, q.ok & fits))
+    return out
