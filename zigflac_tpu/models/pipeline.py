@@ -55,7 +55,9 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
     exact frame-byte concatenation. None on capacity overflow."""
     from ..native import assemble_ranges
 
-    stream, fsize, total_words = out
+    stream, fsize, total_words, overflow = out
+    if bool(np.asarray(overflow)):
+        return None  # a symbol group out-spanned its deposit window
     fsz = np.asarray(fsize)[:nreal].astype(np.int64)
     if int(fsz.max()) > frame_cap:
         return None  # some frame out-sized its per-frame word budget
@@ -256,7 +258,7 @@ def _encode_batch(
 ):
     frames = frames.astype(jnp.int32)
     plan = plan_frames(frames, depth, config)
-    words, total_bits = pack_frames(
+    words, total_bits, _ovf = pack_frames(
         plan, frame_numbers, hstatic, block_size, config.max_rice_order,
         max_words,
         lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
@@ -278,17 +280,19 @@ def _encode_batch_compact(
     max_words: int,
     capb: int,
 ):
-    words, total_bits, crcs = _encode_batch(
-        frames,
-        frame_numbers,
-        config=config,
-        depth=depth,
-        hstatic=hstatic,
-        block_size=block_size,
-        max_words=max_words,
+    frames = frames.astype(jnp.int32)
+    plan = plan_frames(frames, depth, config)
+    words, total_bits, overflow = pack_frames(
+        plan, frame_numbers, hstatic, block_size, config.max_rice_order,
+        max_words,
+        lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
+        lpc_precision=config.lpc_precision,
+        grouped=False,  # grouped/windowed deposits measured 10x SLOWER on
+        # this TPU (see deposit_words_grouped notes); element scatters win
     )
     byte_len = (total_bits + 7) >> 3
+    crcs = crc16_words(words, byte_len)
     words = deposit_crc16(words, byte_len, crcs)
     frame_bytes = byte_len + 2
     stream, total_words = compact_stream_aligned(words, frame_bytes, capb // 4)
-    return stream, frame_bytes, total_words
+    return stream, frame_bytes, total_words, overflow

@@ -40,7 +40,7 @@ def _encode_shard(
 ):
     """Per-shard encode (runs on each chip over its local frames)."""
     plan = plan_frames(frames, depth, config)
-    words, total_bits = pack_frames(
+    words, total_bits, _ovf = pack_frames(
         plan, frame_numbers, hstatic, block_size, config.max_rice_order,
         max_words,
         lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
