@@ -172,3 +172,27 @@ def test_vorbis_tags_roundtrip(rng):
     assert dec.tags == [("TITLE", "test song"), ("ARTIST", "ziggy=stardust")]
     assert dec.vendor == b"toastori FLAC 0.0.0"
     np.testing.assert_array_equal(dec.samples, samples.astype(np.int64))
+
+
+def test_seektable_and_padding(rng):
+    """SEEKTABLE + PADDING blocks (reference queued features): every
+    seekpoint's byte offset must land on a frame whose number matches its
+    sample position."""
+    import zigflac_tpu.decoder as dec
+    from zigflac_tpu.decoder import decode_frame
+
+    samples = make_signal(rng, 5 * 4096 + 100, channels=2, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    flac = encode_wav_bytes(
+        buf.getvalue(), backend="golden", seek_interval=8192, padding=64
+    )
+    d = decode_flac(flac)
+    assert d.md5_ok
+    assert d.seektable is not None and len(d.seektable) == 3
+    info, _v, _t, st, pos = dec._parse_metadata(flac)
+    for sample, offset, nsamples in st:
+        _s, fnum, _end = decode_frame(flac, pos + offset, info)
+        assert fnum == sample // 4096
+        assert nsamples == 4096
+    np.testing.assert_array_equal(d.samples, samples.astype(np.int64))

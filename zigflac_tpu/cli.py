@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="add a Vorbis comment tag (repeatable)",
     )
     p.add_argument(
+        "--seek-interval", type=float, default=None, metavar="SECONDS",
+        help="write a SEEKTABLE with a point at most every SECONDS",
+    )
+    p.add_argument(
+        "--padding", type=int, default=0, metavar="BYTES",
+        help="append a PADDING metadata block of BYTES zero bytes",
+    )
+    p.add_argument(
         "--profile", metavar="DIR", default=None,
         help="dump a jax.profiler trace of the encode to DIR (plus stage "
         "timings to stderr)",
@@ -85,10 +93,16 @@ def main(argv=None) -> int:
                 print(f"error: --tag expects NAME=VALUE, got {t!r}", file=sys.stderr)
                 return 1
             tags.append(tuple(t.split("=", 1)))
+        seek_interval = (
+            int(args.seek_interval * wav.sample_rate)
+            if args.seek_interval
+            else None
+        )
         t0 = time.perf_counter()
         encode_file(
             args.input, args.output, config=cfg, backend=args.backend,
-            tags=tags or None,
+            tags=tags or None, seek_interval=seek_interval,
+            padding=args.padding,
         )
         dt = time.perf_counter() - t0
         if profiler is not None:

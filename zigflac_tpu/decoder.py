@@ -56,6 +56,7 @@ class DecodedStream:
     frame_count: int
     md5_ok: bool
     tags: Optional[list] = None
+    seektable: Optional[list] = None
 
 
 def _parse_metadata(data: bytes):
@@ -65,6 +66,7 @@ def _parse_metadata(data: bytes):
     info: Optional[StreamInfo] = None
     vendor: Optional[bytes] = None
     tags: list = []
+    seektable: list = []
     while True:
         hdr = data[pos]
         is_last = bool(hdr & 0x80)
@@ -95,6 +97,13 @@ def _parse_metadata(data: bytes):
                 min_frame_size=min_frame,
                 max_frame_size=max_frame,
             )
+        elif btype == 3:  # SeekTable
+            for p in range(0, length, 18):
+                seektable.append((
+                    int.from_bytes(body[p : p + 8], "big"),
+                    int.from_bytes(body[p + 8 : p + 16], "big"),
+                    int.from_bytes(body[p + 16 : p + 18], "big"),
+                ))
         elif btype == 4:  # VorbisComment
             vlen = int.from_bytes(body[0:4], "little")
             vendor = body[4 : 4 + vlen]
@@ -112,7 +121,7 @@ def _parse_metadata(data: bytes):
             break
     if info is None:
         raise FlacDecodeError("no STREAMINFO")
-    return info, vendor, tags, pos
+    return info, vendor, tags, seektable, pos
 
 
 def _read_utf8_number(r: BitReader) -> int:
@@ -301,7 +310,7 @@ def decode_frame(
 
 
 def decode_flac(data: bytes, check_crc: bool = True) -> DecodedStream:
-    info, vendor, tags, pos = _parse_metadata(data)
+    info, vendor, tags, seektable, pos = _parse_metadata(data)
     chunks: List[np.ndarray] = []
     frame_count = 0
     total = 0
@@ -318,7 +327,9 @@ def decode_flac(data: bytes, check_crc: bool = True) -> DecodedStream:
         (info.channels, 0), dtype=np.int64
     )
     md5_ok = _verify_md5(samples, info)
-    return DecodedStream(info, samples, vendor, frame_count, md5_ok, tags)
+    return DecodedStream(
+        info, samples, vendor, frame_count, md5_ok, tags, seektable or None
+    )
 
 
 def _verify_md5(samples: np.ndarray, info: StreamInfo) -> bool:

@@ -101,6 +101,53 @@ def streaminfo_block(info: StreamInfo, is_last: bool) -> bytes:
     )
 
 
+def padding_block(n_bytes: int, is_last: bool) -> bytes:
+    """PADDING block (reference queued feature, readme.md:32)."""
+    return (
+        bytes([block_header_byte(BlockType.Padding, is_last)])
+        + n_bytes.to_bytes(3, "big")
+        + b"\x00" * n_bytes
+    )
+
+
+def seek_table_block(
+    seekpoints: "list[tuple[int, int, int]]", is_last: bool
+) -> bytes:
+    """SEEKTABLE block (reference queued feature, readme.md:41).
+
+    ``seekpoints``: (sample_number, byte_offset_from_first_frame,
+    samples_in_frame) triples, ascending by sample number.
+    """
+    body = bytearray()
+    for sample, offset, nsamples in seekpoints:
+        body += sample.to_bytes(8, "big")
+        body += offset.to_bytes(8, "big")
+        body += nsamples.to_bytes(2, "big")
+    return (
+        bytes([block_header_byte(BlockType.SeekTable, is_last)])
+        + len(body).to_bytes(3, "big")
+        + bytes(body)
+    )
+
+
+def build_seekpoints(
+    frame_sizes, block_size: int, interval_samples: int, total_samples: int
+) -> "list[tuple[int, int, int]]":
+    """Seek points at most every ``interval_samples``, from the per-frame
+    byte sizes (frame f starts at sample f*block_size)."""
+    points = []
+    next_at = 0
+    offset = 0
+    for f, size in enumerate(frame_sizes):
+        sample = f * block_size
+        if sample >= next_at:
+            nsamples = min(block_size, total_samples - sample)
+            points.append((sample, offset, nsamples))
+            next_at = sample + interval_samples
+        offset += int(size)
+    return points
+
+
 def vorbis_comment_block(
     is_last: bool,
     vendor: bytes = VENDOR_STRING,

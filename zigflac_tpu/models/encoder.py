@@ -23,7 +23,14 @@ from typing import List, Optional
 import numpy as np
 
 from .. import golden, native
-from ..metadata import StreamInfo, streaminfo_block, vorbis_comment_block
+from ..metadata import (
+    StreamInfo,
+    build_seekpoints,
+    padding_block,
+    seek_table_block,
+    streaminfo_block,
+    vorbis_comment_block,
+)
 from ..utils.config import EncoderConfig
 from ..wav import WavReader
 
@@ -92,11 +99,17 @@ class Encoder:
         info: StreamInfo,
         raw_pcm_bytes: Optional[bytes] = None,
         tags: Optional[List] = None,
+        seek_interval: Optional[int] = None,
+        padding: int = 0,
     ) -> bytes:
         """Planar ``[channels, n] int32`` -> complete FLAC stream.
 
         ``raw_pcm_bytes`` is the little-endian interleaved byte stream the
         STREAMINFO MD5 covers; when None it is reconstructed from samples.
+        ``seek_interval`` (samples) adds a SEEKTABLE block with a point at
+        most every that many samples; ``padding`` adds a PADDING block of
+        that many zero bytes (both queued features in the reference,
+        readme.md:31-41).
         """
         c, n = samples.shape
         block = self.config.block_size
@@ -131,11 +144,18 @@ class Encoder:
             raw_pcm_bytes = _reconstruct_raw_bytes(samples, self.bit_depth)
         info.md5 = native.md5(raw_pcm_bytes)
 
-        return (
-            streaminfo_block(info, is_last=False)
-            + vorbis_comment_block(is_last=True, tags=tags)
-            + stream
+        blocks = [streaminfo_block(info, is_last=False)]
+        if seek_interval:
+            pts = build_seekpoints(
+                sizes, block, seek_interval, info.interchannel_samples
+            )
+            blocks.append(seek_table_block(pts, is_last=False))
+        blocks.append(
+            vorbis_comment_block(is_last=(padding <= 0), tags=tags)
         )
+        if padding > 0:
+            blocks.append(padding_block(padding, is_last=True))
+        return b"".join(blocks) + stream
 
 
 def encode_to_file(
@@ -321,6 +341,8 @@ def encode_wav_bytes(
     config: Optional[EncoderConfig] = None,
     backend: str = "auto",
     tags: Optional[List] = None,
+    seek_interval: Optional[int] = None,
+    padding: int = 0,
 ) -> bytes:
     """The wav2flac path: WAV bytes in, FLAC bytes out
     (src/main.zig + src/wav2flac.zig)."""
@@ -330,7 +352,8 @@ def encode_wav_bytes(
     samples = wav.planar_samples()
     enc = Encoder(cfg, wav.bit_depth, backend=backend)
     return enc.encode_stream(
-        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags
+        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags,
+        seek_interval=seek_interval, padding=padding,
     )
 
 
@@ -340,6 +363,8 @@ def encode_file(
     config: Optional[EncoderConfig] = None,
     backend: str = "auto",
     tags: Optional[List] = None,
+    seek_interval: Optional[int] = None,
+    padding: int = 0,
 ) -> StreamInfo:
     with open(input_path, "rb") as f:
         wav_bytes = f.read()
@@ -349,7 +374,8 @@ def encode_file(
     samples = wav.planar_samples()
     enc = Encoder(cfg, wav.bit_depth, backend=backend)
     out = enc.encode_stream(
-        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags
+        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags,
+        seek_interval=seek_interval, padding=padding,
     )
     with open(output_path, "wb") as f:
         f.write(out)
