@@ -152,3 +152,12 @@ def test_large_frame_numbers(rng):
         pipe = DevicePipeline(cfg, 16, batch_size=2)
         d = pipe.encode_frames(frames, first, info)
         assert_identical(g, d)
+
+
+@pytest.mark.parametrize("depth", [12, 20])
+def test_stereo_12_20_bit(rng, depth):
+    """Extension depths (reference crashes): device == golden byte-exact."""
+    samples = make_signal(rng, 2 * 1024, channels=2, depth=depth, kind="mixed")
+    cfg = EncoderConfig(block_size=1024)
+    g, d = run_both(samples, depth, config=cfg, block=1024)
+    assert_identical(g, d)

@@ -196,3 +196,13 @@ def test_seektable_and_padding(rng):
         assert fnum == sample // 4096
         assert nsamples == 4096
     np.testing.assert_array_equal(d.samples, samples.astype(np.int64))
+
+
+@pytest.mark.parametrize("depth", [12, 20])
+def test_roundtrip_12_20_bit(rng, depth):
+    """12/20-bit depths are extensions: the reference crashes on them
+    (FrameWriter.zig:207-209); we encode them with the spec's depth codes."""
+    samples = make_signal(rng, 4096 + 50, channels=2, depth=depth, kind="mixed")
+    flac, dec = roundtrip(samples, 44100, depth)
+    assert dec.info.bit_depth == depth
+    np.testing.assert_array_equal(dec.samples, samples.astype(np.int64))

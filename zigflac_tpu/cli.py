@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="append a PADDING metadata block of BYTES zero bytes",
     )
     p.add_argument(
+        "--picture", metavar="IMAGE", default=None,
+        help="embed a front-cover PICTURE block (jpeg/png file)",
+    )
+    p.add_argument(
         "--profile", metavar="DIR", default=None,
         help="dump a jax.profiler trace of the encode to DIR (plus stage "
         "timings to stderr)",
@@ -98,11 +102,21 @@ def main(argv=None) -> int:
             if args.seek_interval
             else None
         )
+        extra = None
+        if args.picture:
+            from .metadata import picture_block
+
+            with open(args.picture, "rb") as imf:
+                img = imf.read()
+            mime = (
+                "image/png" if img[:8] == b"\x89PNG\r\n\x1a\n" else "image/jpeg"
+            )
+            extra = [picture_block(img, mime, is_last=False)]
         t0 = time.perf_counter()
         encode_file(
             args.input, args.output, config=cfg, backend=args.backend,
             tags=tags or None, seek_interval=seek_interval,
-            padding=args.padding,
+            padding=args.padding, extra_metadata=extra,
         )
         dt = time.perf_counter() - t0
         if profiler is not None:

@@ -37,7 +37,7 @@ SAMPLE_RATES = {
 }
 # frame-header 4-bit depth codes as the reference writes them
 # (FrameWriter.zig:202-214): {0: from-streaminfo, 2: 8, 8: 16, 12: 24, 14: 32}
-DEPTH_CODES_4BIT = {0: 0, 2: 8, 8: 16, 12: 24, 14: 32}
+DEPTH_CODES_4BIT = {0: 0, 2: 8, 4: 12, 8: 16, 10: 20, 12: 24, 14: 32}
 
 FIXED_COEFFS = {
     0: [],

@@ -410,7 +410,9 @@ def write_frame_header(
         w.write(4, 14)
 
     w.write(4, channels_code)
-    depth_codes = {0: 0, 8: 2, 16: 8, 24: 12, 32: 14}
+    # 12/20-bit are extensions: the reference hits `unreachable` there
+    # (FrameWriter.zig:207-209); codes per the FLAC spec
+    depth_codes = {0: 0, 8: 2, 12: 4, 16: 8, 20: 10, 24: 12, 32: 14}
     if bit_depth not in depth_codes:
         raise ValueError(f"bit depth {bit_depth} cannot be frame-encoded")
     w.write(4, depth_codes[bit_depth])

@@ -91,6 +91,11 @@ class StreamInfo:
         return bytes(out)
 
 
+def set_last_flag(block: bytes) -> bytes:
+    """Mark a metadata block as the last in the chain."""
+    return bytes([block[0] | 0x80]) + block[1:]
+
+
 def streaminfo_block(info: StreamInfo, is_last: bool) -> bytes:
     """fLaC signature + STREAMINFO block (libFLAC/Encoder.zig:394-403)."""
     return (
@@ -146,6 +151,76 @@ def build_seekpoints(
             next_at = sample + interval_samples
         offset += int(size)
     return points
+
+
+def picture_block(
+    image_data: bytes,
+    mime_type: str,
+    is_last: bool,
+    picture_type: int = 3,  # front cover
+    description: str = "",
+    width: int = 0,
+    height: int = 0,
+    depth: int = 0,
+    colors: int = 0,
+) -> bytes:
+    """PICTURE block (reference Future item, readme.md:40)."""
+    mt = mime_type.encode("ascii")
+    desc = description.encode("utf-8")
+    body = (
+        picture_type.to_bytes(4, "big")
+        + len(mt).to_bytes(4, "big") + mt
+        + len(desc).to_bytes(4, "big") + desc
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + depth.to_bytes(4, "big")
+        + colors.to_bytes(4, "big")
+        + len(image_data).to_bytes(4, "big") + image_data
+    )
+    return (
+        bytes([block_header_byte(BlockType.Picture, is_last)])
+        + len(body).to_bytes(3, "big")
+        + body
+    )
+
+
+def cuesheet_block(
+    catalog_number: str,
+    lead_in_samples: int,
+    is_cd: bool,
+    tracks: "list[tuple[int, int, str, bool, list[tuple[int, int]]]]",
+    is_last: bool,
+) -> bytes:
+    """CUESHEET block (reference Future item, readme.md:39).
+
+    ``tracks``: (offset_samples, number, isrc(12 chars max), is_audio,
+    index_points[(offset, number)]) — must include the lead-out track
+    (number 170 for CD, with no index points).
+    """
+    body = bytearray()
+    cat = catalog_number.encode("ascii")[:128]
+    body += cat + b"\x00" * (128 - len(cat))
+    body += lead_in_samples.to_bytes(8, "big")
+    body += bytes([0x80 if is_cd else 0x00])
+    body += b"\x00" * 258  # reserved
+    body += len(tracks).to_bytes(1, "big")
+    for offset, number, isrc, is_audio, points in tracks:
+        body += offset.to_bytes(8, "big")
+        body += number.to_bytes(1, "big")
+        isrc_b = isrc.encode("ascii")[:12]
+        body += isrc_b + b"\x00" * (12 - len(isrc_b))
+        body += bytes([0x00 if is_audio else 0x80])
+        body += b"\x00" * 13  # reserved
+        body += len(points).to_bytes(1, "big")
+        for poff, pnum in points:
+            body += poff.to_bytes(8, "big")
+            body += pnum.to_bytes(1, "big")
+            body += b"\x00" * 3
+    return (
+        bytes([block_header_byte(BlockType.CueSheet, is_last)])
+        + len(body).to_bytes(3, "big")
+        + bytes(body)
+    )
 
 
 def vorbis_comment_block(

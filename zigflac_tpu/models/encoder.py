@@ -28,6 +28,7 @@ from ..metadata import (
     build_seekpoints,
     padding_block,
     seek_table_block,
+    set_last_flag,
     streaminfo_block,
     vorbis_comment_block,
 )
@@ -101,6 +102,7 @@ class Encoder:
         tags: Optional[List] = None,
         seek_interval: Optional[int] = None,
         padding: int = 0,
+        extra_metadata: Optional[List[bytes]] = None,
     ) -> bytes:
         """Planar ``[channels, n] int32`` -> complete FLAC stream.
 
@@ -108,8 +110,9 @@ class Encoder:
         STREAMINFO MD5 covers; when None it is reconstructed from samples.
         ``seek_interval`` (samples) adds a SEEKTABLE block with a point at
         most every that many samples; ``padding`` adds a PADDING block of
-        that many zero bytes (both queued features in the reference,
-        readme.md:31-41).
+        that many zero bytes; ``extra_metadata`` takes pre-built blocks
+        (picture_block/cuesheet_block, built with is_last=False) — the
+        last-block flag is fixed up here.
         """
         c, n = samples.shape
         block = self.config.block_size
@@ -150,11 +153,12 @@ class Encoder:
                 sizes, block, seek_interval, info.interchannel_samples
             )
             blocks.append(seek_table_block(pts, is_last=False))
-        blocks.append(
-            vorbis_comment_block(is_last=(padding <= 0), tags=tags)
-        )
+        blocks.append(vorbis_comment_block(is_last=False, tags=tags))
+        for extra in extra_metadata or []:
+            blocks.append(extra)
         if padding > 0:
-            blocks.append(padding_block(padding, is_last=True))
+            blocks.append(padding_block(padding, is_last=False))
+        blocks[-1] = set_last_flag(blocks[-1])
         return b"".join(blocks) + stream
 
 
@@ -343,6 +347,7 @@ def encode_wav_bytes(
     tags: Optional[List] = None,
     seek_interval: Optional[int] = None,
     padding: int = 0,
+    extra_metadata: Optional[List[bytes]] = None,
 ) -> bytes:
     """The wav2flac path: WAV bytes in, FLAC bytes out
     (src/main.zig + src/wav2flac.zig)."""
@@ -354,6 +359,7 @@ def encode_wav_bytes(
     return enc.encode_stream(
         samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags,
         seek_interval=seek_interval, padding=padding,
+        extra_metadata=extra_metadata,
     )
 
 
@@ -365,6 +371,7 @@ def encode_file(
     tags: Optional[List] = None,
     seek_interval: Optional[int] = None,
     padding: int = 0,
+    extra_metadata: Optional[List[bytes]] = None,
 ) -> StreamInfo:
     with open(input_path, "rb") as f:
         wav_bytes = f.read()
@@ -376,6 +383,7 @@ def encode_file(
     out = enc.encode_stream(
         samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags,
         seek_interval=seek_interval, padding=padding,
+        extra_metadata=extra_metadata,
     )
     with open(output_path, "wb") as f:
         f.write(out)

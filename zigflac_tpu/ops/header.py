@@ -76,7 +76,8 @@ def header_static(block_size: int, sample_rate: int, bit_depth: int) -> HeaderSt
         v = (block_size // 10) & 0xFFFF
         sr_tail = [(v >> 8) & 0xFF, v & 0xFF]
 
-    depth_codes = {8: 2, 16: 8, 24: 12, 32: 14}
+    # 12/20-bit are extensions (the reference hits `unreachable`)
+    depth_codes = {8: 2, 12: 4, 16: 8, 20: 10, 24: 12, 32: 14}
     if bit_depth not in depth_codes:
         raise ValueError(f"bit depth {bit_depth} cannot be frame-encoded")
     return HeaderStatic(

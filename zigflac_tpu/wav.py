@@ -90,7 +90,13 @@ class WavReader:
             # reference divides by (bit_depth/8): 4-bit input crashes there
             # (src/WavReader.zig:170); we reject it cleanly.
             raise WavFormatError("UnsupportBitDepth")
-        samples_count = data_len // (channels * (bit_depth // 8))
+        if bit_depth % 8 == 0:
+            samples_count = data_len // (channels * (bit_depth // 8))
+        else:
+            # 12/20-bit extension: the reference's formula miscounts and it
+            # crashes later anyway (FrameWriter.zig:207-209); count by the
+            # real container stride
+            samples_count = data_len // block_align
         data = buf[r.pos : r.pos + data_len]
         if len(data) < data_len:
             raise WavFormatError("IncompleteStream")
@@ -193,6 +199,9 @@ def write_wav(
     c, n = samples.shape
     nb = (bit_depth + 7) // 8
     interleaved = samples.T.astype(np.int64)  # [n, c]
+    if bit_depth % 8:
+        # WAV stores sub-byte-aligned depths left-justified in the container
+        interleaved = interleaved << (8 * nb - bit_depth)
     if nb == 1:
         interleaved = interleaved + 128  # unsigned 8-bit container
     u = (interleaved & ((1 << (8 * nb)) - 1)).astype(np.uint64)
