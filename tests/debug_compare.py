@@ -44,7 +44,7 @@ def compare(samples, depth, B, rate=44100):
         if gcode != dcode:
             print(f"frame {i}: channels_code golden={gcode} device={dcode} (ch_type={gplan.ch_type})")
             continue
-        for w, (pl, ch, ss) in enumerate(gplan.subframes):
+        for w, (pl, ch, ss, _k) in enumerate(gplan.subframes):
             kindmap = {"constant": 0, "verbatim": 1, "fixed": 2}
             gk = kindmap[ch.kind]
             dk = plan["kind"][i, w]

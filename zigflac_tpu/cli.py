@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-rice-param", type=int, default=30, choices=[14, 30])
     p.add_argument("--lpc-order", type=int, default=8)
     p.add_argument(
+        "--wasted-bits", action="store_true",
+        help="detect and shave common trailing zero bits per subframe",
+    )
+    p.add_argument(
         "--backend", choices=["auto", "device", "golden"], default="auto"
     )
     p.add_argument(
@@ -75,6 +79,7 @@ def main(argv=None) -> int:
         max_rice_order=args.max_rice_order,
         max_rice_param=args.max_rice_param,
         lpc_order=args.lpc_order,
+        wasted_bits=args.wasted_bits,
     )
 
     try:

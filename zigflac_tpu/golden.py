@@ -314,8 +314,21 @@ def mid_side(left: np.ndarray, right: np.ndarray, depth: int) -> Tuple[np.ndarra
 class FramePlan:
     ch_type: int  # CH_* code
     # For Indep: one entry per channel. For stereo modes: the two written
-    # logical channels in wire order, each (plane, choice, sample_size).
-    subframes: List[Tuple[np.ndarray, SubframeChoice, int]]
+    # logical channels in wire order, each
+    # (plane, choice, sample_size, wasted_bits).
+    subframes: List[Tuple[np.ndarray, SubframeChoice, int, int]]
+
+
+def wasted_bits_of(plane: np.ndarray, sample_size: int, config: EncoderConfig):
+    """(k, shifted_plane) — common trailing zero bits (extension; the
+    reference has no wasted-bits support). k = 0 unless enabled."""
+    if not config.wasted_bits:
+        return 0, plane
+    ored = int(np.bitwise_or.reduce(plane.astype(np.int64)))
+    if ored == 0:
+        return 0, plane
+    k = min((ored & -ored).bit_length() - 1, sample_size - 1)
+    return k, plane >> k
 
 
 def plan_frame(
@@ -325,14 +338,23 @@ def plan_frame(
 ) -> FramePlan:
     """processChannels (libFLAC/Encoder.zig:233-317)."""
     if not config.stereo_auto:
-        subs = [
-            (ch, choose_subframe(ch, 32, depth, config), depth) for ch in samples
-        ]
+        subs = []
+        for ch in samples:
+            k, shifted = wasted_bits_of(ch, depth, config)
+            subs.append(
+                (shifted, choose_subframe(shifted, 32, depth, config),
+                 depth - k, k)
+            )
         return FramePlan(CH_INDEP, subs)
 
     left, right = samples[0], samples[1]
     mid, side = mid_side(left, right, depth)
     side_bits_of_t = 64 if depth == 32 else 32
+
+    k_l, left = wasted_bits_of(left, depth, config)
+    k_r, right = wasted_bits_of(right, depth, config)
+    k_m, mid = wasted_bits_of(mid, depth, config)
+    k_s, side = wasted_bits_of(side, depth, config)
 
     c_left = choose_subframe(left, 32, depth, config)
     c_right = choose_subframe(right, 32, depth, config)
@@ -348,13 +370,17 @@ def plan_frame(
     ch_type = int(np.argmin(np.array(sums, dtype=np.uint64)))  # first-min
 
     if ch_type == CH_INDEP:
-        subs = [(left, c_left, depth), (right, c_right, depth)]
+        subs = [(left, c_left, depth - k_l, k_l),
+                (right, c_right, depth - k_r, k_r)]
     elif ch_type == CH_LEFT_SIDE:
-        subs = [(left, c_left, depth), (side, c_side, depth + 1)]
+        subs = [(left, c_left, depth - k_l, k_l),
+                (side, c_side, depth + 1 - k_s, k_s)]
     elif ch_type == CH_SIDE_RIGHT:
-        subs = [(side, c_side, depth + 1), (right, c_right, depth)]
+        subs = [(side, c_side, depth + 1 - k_s, k_s),
+                (right, c_right, depth - k_r, k_r)]
     else:
-        subs = [(mid, c_mid, depth), (side, c_side, depth + 1)]
+        subs = [(mid, c_mid, depth - k_m, k_m),
+                (side, c_side, depth + 1 - k_s, k_s)]
     return FramePlan(ch_type, subs)
 
 
@@ -448,13 +474,25 @@ def write_frame_header(
     w.write(8, crc8(w.bytes_so_far()))
 
 
-def write_constant_subframe(w: BitWriter, sample_size: int, sample: int) -> None:
-    w.write(8, 0)
+def _write_wasted(w: BitWriter, k: int) -> None:
+    if k > 0:
+        w.write_zeros(k - 1)
+        w.write(1, 1)
+
+
+def write_constant_subframe(
+    w: BitWriter, sample_size: int, sample: int, wasted: int = 0
+) -> None:
+    w.write(8, 0 | (1 if wasted else 0))
+    _write_wasted(w, wasted)
     w.write_signed(sample_size, int(sample))
 
 
-def write_verbatim_subframe(w: BitWriter, sample_size: int, plane: np.ndarray) -> None:
-    w.write(8, 1 << 1)
+def write_verbatim_subframe(
+    w: BitWriter, sample_size: int, plane: np.ndarray, wasted: int = 0
+) -> None:
+    w.write(8, (1 << 1) | (1 if wasted else 0))
+    _write_wasted(w, wasted)
     mask = (1 << sample_size) - 1
     for s in plane.tolist():
         w.write(sample_size, s & mask)
@@ -467,8 +505,10 @@ def write_fixed_subframe(
     residuals: np.ndarray,
     order: int,
     rice_cfg: RiceConfig,
+    wasted: int = 0,
 ) -> None:
-    w.write(8, (8 | order) << 1)
+    w.write(8, ((8 | order) << 1) | (1 if wasted else 0))
+    _write_wasted(w, wasted)
     mask = (1 << sample_size) - 1
     for i in range(order):
         w.write(sample_size, int(plane[i]) & mask)
@@ -480,10 +520,12 @@ def write_lpc_subframe(
     sample_size: int,
     plane: np.ndarray,
     choice: SubframeChoice,
+    wasted: int = 0,
 ) -> None:
     """LPC subframe per the FLAC spec (extension; reference stubs this)."""
     order = choice.order
-    w.write(8, (0x20 | (order - 1)) << 1)
+    w.write(8, ((0x20 | (order - 1)) << 1) | (1 if wasted else 0))
+    _write_wasted(w, wasted)
     mask = (1 << sample_size) - 1
     for i in range(order):
         w.write(sample_size, int(plane[i]) & mask)
@@ -575,16 +617,17 @@ def encode_frame(
         w, True, block_size, info.sample_rate, channels_code, info.bit_depth,
         frame_number,
     )
-    for plane, choice, sample_size in plan.subframes:
+    for plane, choice, sample_size, wasted in plan.subframes:
         if choice.kind == "constant":
-            write_constant_subframe(w, sample_size, int(plane[0]))
+            write_constant_subframe(w, sample_size, int(plane[0]), wasted)
         elif choice.kind == "verbatim":
-            write_verbatim_subframe(w, sample_size, plane)
+            write_verbatim_subframe(w, sample_size, plane, wasted)
         elif choice.kind == "lpc":
-            write_lpc_subframe(w, sample_size, plane, choice)
+            write_lpc_subframe(w, sample_size, plane, choice, wasted)
         else:
             write_fixed_subframe(
-                w, sample_size, plane, choice.residuals, choice.order, choice.rice
+                w, sample_size, plane, choice.residuals, choice.order,
+                choice.rice, wasted,
             )
     w.align_to_byte()
     body = w.getvalue()

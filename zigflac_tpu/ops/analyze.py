@@ -57,6 +57,7 @@ class PlaneAnalysis(NamedTuple):
     residuals: jnp.ndarray   # i32 [..., B]: first `order` slots are 0
     qcoeffs: jnp.ndarray     # i32 [..., 32]: quantized LPC coefficients
     qshift: jnp.ndarray      # i32 [...]: LPC coefficient shift
+    wasted: jnp.ndarray      # i32 [...]: shaved trailing zero bits (extension)
 
 
 def _ilog2(v: int) -> int:
@@ -269,6 +270,20 @@ def analyze_planes(
     batch_shape = planes.shape[:-1]
     wide = not (sample_size < 28 and bits_of_t == 32)
 
+    if config.wasted_bits:
+        # extension (the reference has no wasted-bits support): shave the
+        # common trailing zero bits of the plane and encode the shifted
+        # samples at a reduced width; the subframe header carries k
+        ored = _tree_or(planes)
+        bw = 64 if planes.dtype == jnp.int64 else 32
+        lowbit = ored & (-ored)
+        ctz = (bw - 1) - jax.lax.clz(lowbit)
+        wasted = jnp.where(ored != 0, ctz, 0).astype(jnp.int32)
+        wasted = jnp.clip(wasted, 0, sample_size - 1)
+        planes = planes >> wasted[..., None].astype(planes.dtype)
+    else:
+        wasted = jnp.zeros(batch_shape, jnp.int32)
+
     all_eq = (planes == planes[..., :1]).all(axis=-1)
     verb_bits = jnp.uint64(B * bits_of_t)
     z32 = jnp.zeros(batch_shape, jnp.int32)
@@ -288,6 +303,7 @@ def analyze_planes(
             residuals=jnp.zeros(batch_shape + (B,), jnp.int32),
             qcoeffs=zq,
             qshift=z32,
+            wasted=wasted,
         )
 
     order, ok, _totals = best_fixed_order(planes, wide)
@@ -351,6 +367,7 @@ def analyze_planes(
         residuals=residuals,
         qcoeffs=qcoeffs,
         qshift=qshift,
+        wasted=wasted,
     )
 
 
@@ -373,6 +390,7 @@ class FrameWirePlan(NamedTuple):
     residuals: jnp.ndarray      # i32 [N, W, B]
     qcoeffs: jnp.ndarray        # i32 [N, W, 32]
     qshift: jnp.ndarray         # i32 [N, W]
+    wasted: jnp.ndarray         # i32 [N, W]: shaved bits (0 unless enabled)
 
 
 def plan_frames_indep(
@@ -382,18 +400,20 @@ def plan_frames_indep(
     (libFLAC/Encoder.zig:242-247)."""
     n, c, B = frames.shape
     a = analyze_planes(frames, 32, depth, B, config)
+    planes_w = frames >> a.wasted[..., None]
     return FrameWirePlan(
         channels_code=jnp.full((n,), c - 1, jnp.int32),
         kind=a.kind,
         order=a.order,
         method=a.method,
         part_order=a.part_order,
-        sample_size=jnp.full((n, c), depth, jnp.int32),
+        sample_size=depth - a.wasted,
         params=a.params,
-        planes=frames,
+        planes=planes_w,
         residuals=a.residuals,
         qcoeffs=a.qcoeffs,
         qshift=a.qshift,
+        wasted=a.wasted,
     )
 
 
@@ -429,9 +449,11 @@ def plan_frames_stereo(
         )
         qcoeffs = jnp.concatenate([a3.qcoeffs, a_s.qcoeffs[:, None]], axis=1)
         qshift = jnp.concatenate([a3.qshift, a_s.qshift[:, None]], axis=1)
+        wasted = jnp.concatenate([a3.wasted, a_s.wasted[:, None]], axis=1)
         planes_w = jnp.concatenate(
             [lrm.astype(jnp.int64), side64[:, None]], axis=1
-        )  # [n, 4, B] — i64: the side channel is 33-bit at depth 32
+        ) >> wasted[..., None].astype(jnp.int64)
+        # [n, 4, B] — i64: the side channel is 33-bit at depth 32
     else:
         side = side64.astype(jnp.int32)
         lrms = jnp.stack([left, right, mid, side], axis=1)  # [n, 4, B]
@@ -439,7 +461,9 @@ def plan_frames_stereo(
         est, kind, order, method = a.est_bits, a.kind, a.order, a.method
         part_order, params, residuals = a.part_order, a.params, a.residuals
         qcoeffs, qshift = a.qcoeffs, a.qshift
-        planes_w = lrms  # i32: all planes fit (side <= depth+1 <= 25 bits)
+        wasted = a.wasted
+        planes_w = lrms >> wasted[..., None]
+        # i32: all planes fit (side <= depth+1 <= 25 bits)
 
     # mode sums in plane order [L, R, M, S] = indices 0,1,2,3
     sums = jnp.stack(
@@ -463,9 +487,11 @@ def plan_frames_stereo(
         return jnp.stack([w0, w1], axis=1)
 
     # side sits at wire 0 for SideRight, wire 1 for LeftSide/MidSide; the
-    # side channel is written with depth+1 bits (libFLAC/Encoder.zig:203-206)
-    ss0 = depth + (ch_type == 2).astype(jnp.int32)
-    ss1 = depth + ((ch_type == 1) | (ch_type == 3)).astype(jnp.int32)
+    # side channel is written with depth+1 bits (libFLAC/Encoder.zig:203-206);
+    # wasted bits (extension) reduce the wire width per plane
+    wasted_w = gather_ch(wasted)
+    ss0 = depth + (ch_type == 2).astype(jnp.int32) - wasted_w[:, 0]
+    ss1 = depth + ((ch_type == 1) | (ch_type == 3)).astype(jnp.int32) - wasted_w[:, 1]
 
     return FrameWirePlan(
         channels_code=jnp.where(ch_type == 0, 1, ch_type + 7).astype(jnp.int32),
@@ -479,6 +505,7 @@ def plan_frames_stereo(
         residuals=gather_ch(residuals),
         qcoeffs=gather_ch(qcoeffs),
         qshift=gather_ch(qshift),
+        wasted=wasted_w,
     )
 
 

@@ -103,11 +103,12 @@ def channel_symbols(
     max_rice_order: int,
     lpc_order: int = 0,       # static: 0 = LPC disabled
     lpc_precision: int = 14,
-) -> SymbolBlock:
-    """Symbols of one subframe: header byte, warmup, (LPC precision/shift/
-    coeffs), method/part-order, interleaved partition params + residual codes
-    (reference serializers: FrameWriter.zig:251-361; LPC layout per the FLAC
-    spec — the reference stubs it)."""
+    wasted: jnp.ndarray | None = None,  # i32 [N] shaved bits (extension)
+):
+    """Symbols of one subframe: header byte, (wasted-bits unary), warmup,
+    (LPC precision/shift/coeffs), method/part-order, interleaved partition
+    params + residual codes (reference serializers: FrameWriter.zig:251-361;
+    LPC layout per the FLAC spec — the reference stubs it)."""
     n, B = plane.shape
     is_const = kind == 0
     is_verb = kind == 1
@@ -115,7 +116,9 @@ def channel_symbols(
     is_pred = (kind == 2) | is_lpc
     ss = sample_size
 
-    # -- subframe header byte --
+    # -- subframe header byte (bit 0 = wasted-bits flag) + unary k field --
+    if wasted is None:
+        wasted = jnp.zeros((n,), jnp.int32)
     hdr_val = jnp.where(
         is_const,
         0,
@@ -124,11 +127,18 @@ def channel_symbols(
             1 << 1,
             jnp.where(is_lpc, (0x20 | (order - 1)) << 1, (8 | order) << 1),
         ),
-    )
+    ) | (wasted > 0).astype(jnp.int32)
     hdr = SymbolBlock(
         nb=jnp.full((n, 1), 8, jnp.int32),
         val=_u64(hdr_val)[:, None],
         nbv=jnp.full((n, 1), 8, jnp.int32),
+    )
+    # wasted-bits field: k-1 zeros + a 1 terminator (k bits total)
+    wb_nb = jnp.where(wasted > 0, wasted, 0)[:, None]
+    wb = SymbolBlock(
+        nb=wb_nb,
+        val=jnp.where(wb_nb > 0, jnp.uint64(1), jnp.uint64(0)),
+        nbv=jnp.where(wb_nb > 0, 1, 0),
     )
 
     # -- warmup samples --
@@ -277,8 +287,8 @@ def channel_symbols(
     # -- scatter cost is per element, and param slots are ~94% masked)
     inter_nb = jnp.stack([p_sym.nb, s_nb], axis=2).reshape(n, 2 * B)
 
-    blocks = [hdr, warm] + lpc_blocks + [meth]
-    front_cnt = 1 + max_warmup + (1 + lpc_order if lpc_order else 0) + 1
+    blocks = [hdr, wb, warm] + lpc_blocks + [meth]
+    front_cnt = 2 + max_warmup + (1 + lpc_order if lpc_order else 0) + 1
     side = SideDeposits(
         slot=side_slot256 + front_cnt,
         val=side_val256,
@@ -527,6 +537,7 @@ def pack_frames(
             max_rice_order,
             lpc_order=lpc_order,
             lpc_precision=lpc_precision,
+            wasted=plan.wasted[:, c],
         )
         nb_parts.append(nb_full)
         dep_val_parts.append(dep_val)

@@ -33,6 +33,7 @@ class EncoderConfig:
     # --- extensions beyond the reference (it stubs LPC: Encoder.zig:498-503) ---
     lpc_order: int = 8            # max LPC order when prediction == "lpc"
     lpc_precision: int = 14       # quantized coefficient precision bits
+    wasted_bits: bool = False     # detect/shave common trailing zero bits
 
     @property
     def num_channels(self) -> int:
