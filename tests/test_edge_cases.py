@@ -221,8 +221,10 @@ def test_wasted_bits_device_vs_golden(rng):
 
 
 def test_wasted_bits_off_by_default(rng):
-    """Default config output is untouched by the feature's existence."""
+    """Default config output is untouched by the feature's existence: decode
+    the frames and assert no subframe carries the wasted flag."""
     from conftest import make_signal
+    from zigflac_tpu.utils.bits import BitReader
 
     samples = (make_signal(rng, 1024, channels=2, depth=16, kind="mixed") // 4) * 4
     g_off, d_off = run_both(
@@ -230,7 +232,43 @@ def test_wasted_bits_off_by_default(rng):
         config=EncoderConfig(block_size=1024), block=1024,
     )
     assert_identical(g_off, d_off)
-    # no wasted flag in the subframe headers (bit 0 of the header byte)
     for fr in g_off:
-        pass  # byte-identity against the pre-feature oracle is enforced
-        # by the whole existing suite running with defaults
+        # walk to the first subframe header: frame header is 2 sync +
+        # 1 codes + 1 codes + 1 frame-number (frame 0) + 1 crc8 = 6 bytes
+        r = BitReader(fr, 6 * 8)
+        assert r.read(1) == 0
+        r.read(6)  # type
+        assert r.read(1) == 0, "wasted flag set under default config"
+
+
+def test_wasted_bits_32bit_stereo(rng):
+    """Wasted bits through the int64 side-channel path (depth 32)."""
+    from conftest import make_signal
+
+    samples = (
+        make_signal(rng, 2 * 1024, channels=2, depth=32, kind="mixed") >> 8
+    ) << 8  # 8 trailing zero bits
+    cfg = EncoderConfig(block_size=1024, wasted_bits=True)
+    g, d = run_both(samples.astype(np.int32), 32, config=cfg, block=1024)
+    assert_identical(g, d)
+
+
+def test_wasted_bits_indep_channels(rng):
+    """Wasted bits on the independent-channels (non-stereo) plan path."""
+    import io
+
+    from conftest import make_signal
+    from zigflac_tpu.decoder import decode_flac
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+    from zigflac_tpu.wav import write_wav
+
+    samples = (make_signal(rng, 1024, channels=3, depth=16, kind="mixed") // 32) * 32
+    cfg = EncoderConfig(block_size=1024, channels=3, wasted_bits=True)
+    g, d = run_both(samples.astype(np.int32), 16, config=cfg, block=1024)
+    assert_identical(g, d)
+    buf = io.BytesIO()
+    write_wav(buf, samples.astype(np.int32), 48000, 16)
+    flac = encode_wav_bytes(buf.getvalue(), config=cfg, backend="golden")
+    dec = decode_flac(flac)
+    np.testing.assert_array_equal(dec.samples, samples.astype(np.int64))
+    assert dec.md5_ok
