@@ -17,8 +17,15 @@ import time
 from .utils.config import EncoderConfig
 
 
+class _Parser(argparse.ArgumentParser):
+    def error(self, message):  # reference exits 1 on usage errors (main.zig:21)
+        self.print_usage(sys.stderr)
+        print(f"wav2flac: error: {message}", file=sys.stderr)
+        raise SystemExit(1)
+
+
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
+    p = _Parser(
         prog="wav2flac",
         description="TPU-native FLAC encoder (zigflac_tpu)",
     )
