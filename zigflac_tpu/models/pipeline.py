@@ -55,10 +55,11 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
     exact frame-byte concatenation. None on capacity overflow."""
     from ..native import assemble_ranges
 
-    stream, fsize, total_words, overflow = out
-    if bool(np.asarray(overflow)):
+    stream, meta = out
+    meta = np.asarray(meta)  # single round trip: sizes + total + overflow
+    if meta[-1] != 0:
         return None  # a symbol group out-spanned its deposit window
-    fsz = np.asarray(fsize)[:nreal].astype(np.int64)
+    fsz = meta[:nreal].astype(np.int64)
     if int(fsz.max()) > frame_cap:
         return None  # some frame out-sized its per-frame word budget
     wcnt = (fsz + 3) >> 2
@@ -295,4 +296,13 @@ def _encode_batch_compact(
     words = deposit_crc16(words, byte_len, crcs)
     frame_bytes = byte_len + 2
     stream, total_words = compact_stream_aligned(words, frame_bytes, capb // 4)
-    return stream, frame_bytes, total_words, overflow
+    # one fetchable metadata vector: [frame_bytes..., total_words, overflow]
+    # (each extra d2h fetch costs ~30-50ms of round-trip latency on the relay)
+    meta = jnp.concatenate(
+        [
+            frame_bytes.astype(jnp.int64),
+            total_words.astype(jnp.int64)[None],
+            overflow.astype(jnp.int64)[None],
+        ]
+    )
+    return stream, meta
