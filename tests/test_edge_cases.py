@@ -29,8 +29,12 @@ def test_wide_overflow_falls_back_to_verbatim(rng):
     cfg = EncoderConfig(block_size=B)
     g, d = run_both(samples, 32, config=cfg, block=B)
     assert_identical(g, d)
-    # structurally confirm a verbatim subframe exists (header byte 0x02)
-    assert any(b"\x02" in fr[:20] for fr in g) or True
+    # Structurally confirm a verbatim subframe exists: with block 1024
+    # (common code), rate 44100 (common code) and frame number < 128 the
+    # frame header is exactly 6 bytes (sync 2 + bs|sr 1 + ch|depth 1 +
+    # frame number 1 + CRC-8 1), so byte 6 is the first subframe header;
+    # verbatim is type 1 -> header byte 0b0000_0010 = 0x02.
+    assert any(fr[6] == 0x02 for fr in g)
 
 
 def _golden_channel_bytes(kind, order, method, part_order, ss, params,

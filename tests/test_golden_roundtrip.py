@@ -206,3 +206,5 @@ def test_roundtrip_12_20_bit(rng, depth):
     flac, dec = roundtrip(samples, 44100, depth)
     assert dec.info.bit_depth == depth
     np.testing.assert_array_equal(dec.samples, samples.astype(np.int64))
+    # 12/20-bit MD5 IS verified (left-justified container-stride bytes)
+    assert dec.md5_ok, "non-byte-aligned depths must verify MD5, not skip it"

@@ -72,6 +72,36 @@ def test_wav_errors(rng):
         WavReader.from_bytes(b"RIFF\x04\x00\x00\x00WAVE")
 
 
+def test_wav_bad_block_align(rng):
+    """block_align inconsistent with channels/bit_depth must raise a typed
+    error, never reach the native de-interleave (which would SIGFPE on
+    stride 0 or hit negative-shift UB on stride > 4)."""
+    samples = make_signal(rng, 256, channels=2, depth=16, kind="sine")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    good = bytearray(buf.getvalue())
+    # fmt fields start at offset 20: codec(2) ch(2) rate(4) brate(4) align(2) depth(2)
+    for bad_align in (0, 1, 3, 10, 255):
+        raw = bytearray(good)
+        raw[32:34] = bad_align.to_bytes(2, "little")
+        # keep byte_rate consistent so the align check is what fires
+        rate = int.from_bytes(raw[24:28], "little")
+        raw[28:32] = (rate * (bad_align // 2) * 2).to_bytes(4, "little")
+        with pytest.raises(WavFormatError):
+            WavReader.from_bytes(bytes(raw))
+
+
+def test_verify_flac_truncation_returns_false(rng):
+    """verify_flac reports False on truncated streams instead of leaking
+    EOFError/IndexError (the CLI maps False to exit 3)."""
+    from zigflac_tpu.decoder import verify_flac
+
+    flac = make_flac(rng)
+    assert verify_flac(flac)
+    for cut in [4, 10, 50, len(flac) // 2, len(flac) - 3]:
+        assert verify_flac(flac[:cut]) is False
+
+
 def test_pcm_extend_format(rng):
     """PCM_EXTEND (0xFFFE) with valid-bits override parses like the
     reference (src/WavReader.zig:147-155)."""

@@ -335,26 +335,29 @@ def decode_flac(data: bytes, check_crc: bool = True) -> DecodedStream:
 def _verify_md5(samples: np.ndarray, info: StreamInfo) -> bool:
     """Re-derive the raw little-endian PCM byte stream and compare its MD5
     with STREAMINFO's (which the encoder computed over the raw WAV bytes,
-    src/WavReader.zig:69)."""
+    src/WavReader.zig:69). Uses the same serialization helper as the encoder
+    (wav.reconstruct_raw_bytes), covering byte-aligned AND 12/20-bit depths
+    (left-justified container stride). Depths below 8 bits cannot be
+    serialized here — those report a verification FAILURE rather than a
+    silent pass."""
+    from .wav import reconstruct_raw_bytes
+
     if info.md5 == b"\x00" * 16:
         return True
-    nb = info.bit_depth // 8
-    if nb == 0 or nb * 8 != info.bit_depth:
-        return True  # non-byte-aligned depths: raw byte layout undefined here
-    inter = samples.T  # [n, c]
-    if nb == 1:
-        # invert the reference's 8-bit read quirk (byte b -> sample b-1)
-        inter = inter + 1
-    u = (inter.astype(np.int64) & ((1 << (8 * nb)) - 1)).astype(np.uint64)
-    b = u[..., None].view(np.uint8).reshape(*u.shape, 8)[:, :, :nb]
-    raw = np.ascontiguousarray(b).tobytes()
+    if info.bit_depth < 8:
+        return False  # cannot verify: do not claim ok
+    raw = reconstruct_raw_bytes(samples, info.bit_depth)
     return hashlib.md5(raw).digest() == info.md5
 
 
 def verify_flac(data: bytes) -> bool:
-    """Decode + verify CRCs and MD5; True iff everything checks out."""
+    """Decode + verify CRCs and MD5; True iff everything checks out.
+
+    Truncated input surfaces as EOFError/IndexError from the bit reader and
+    metadata parser rather than FlacDecodeError — treat those as a clean
+    verification failure, not a crash."""
     try:
         dec = decode_flac(data, check_crc=True)
-    except FlacDecodeError:
+    except (FlacDecodeError, EOFError, IndexError):
         return False
     return dec.md5_ok

@@ -33,7 +33,7 @@ from ..metadata import (
     vorbis_comment_block,
 )
 from ..utils.config import EncoderConfig
-from ..wav import WavReader
+from ..wav import WavReader, reconstruct_raw_bytes
 
 
 class Encoder:
@@ -231,16 +231,9 @@ def _device_available() -> bool:
         return False
 
 
-def _reconstruct_raw_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
-    nb = bit_depth // 8
-    if nb == 0:
-        raise ValueError("cannot reconstruct raw bytes for sub-byte depths")
-    inter = samples.T.astype(np.int64)
-    if nb == 1:
-        inter = inter + 1  # invert the reference 8-bit read quirk
-    u = (inter & ((1 << (8 * nb)) - 1)).astype(np.uint64)
-    b = u[..., None].view(np.uint8).reshape(*u.shape, 8)[:, :, :nb]
-    return np.ascontiguousarray(b).tobytes()
+# Shared with decoder._verify_md5 so encoder and verifier can never diverge
+# on the byte serialization (single source of truth in wav.py).
+_reconstruct_raw_bytes = reconstruct_raw_bytes
 
 
 def encode_wav_bytes_many(

@@ -74,6 +74,20 @@ class WavReader:
             r.skip(2)  # extension size
             bit_depth = r.take_u16le()  # valid bits per sample
             r.skip(4 + 16)  # channel mask + subformat
+            if not (4 <= bit_depth <= 32):
+                raise WavFormatError("UnsupportBitDepth")
+        # The container stride must be 1..4 bytes and consistent with the
+        # bit depth, and block_align must be exactly channels * stride.
+        # The reference never decodes via block_align (WavReader.zig
+        # bytesToSample switches on bit_depth), so a mismatched stride would
+        # be a silent divergence here — and stride 0 or >4 would crash the
+        # native de-interleave (division by zero / negative shift).
+        if (
+            not 1 <= bytes_per_sample <= 4
+            or bytes_per_sample != (bit_depth + 7) // 8
+            or block_align != channels * bytes_per_sample
+        ):
+            raise WavFormatError("InvalidBlockAlign")
         # skip chunks until "data"
         while True:
             try:
@@ -160,6 +174,31 @@ class WavReader:
         """The exact byte stream the STREAMINFO MD5 covers
         (src/WavReader.zig:69: MD5 is over raw interleaved LE bytes)."""
         return self.data[: self.samples_count * self.channels * self.bytes_per_sample]
+
+
+def reconstruct_raw_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
+    """Inverse of ``planar_samples``: planar ``[channels, n]`` samples -> the
+    raw little-endian interleaved container byte stream the STREAMINFO MD5
+    covers (src/WavReader.zig:69: MD5 is over the raw WAV bytes).
+
+    Container stride is ``(bit_depth + 7) // 8`` bytes; non-byte-aligned
+    depths (12/20-bit) are stored left-justified with zero padding bits, and
+    depth 8 inverts the reference's read quirk (sample = byte - 1,
+    src/WavReader.zig:74-81). Shared by the encoder (when no raw bytes were
+    captured) and the decoder's MD5 verification so both sides serialize
+    identically.
+    """
+    if bit_depth < 8:
+        raise ValueError("cannot reconstruct raw bytes for sub-byte depths")
+    nb = (bit_depth + 7) // 8
+    inter = samples.T.astype(np.int64)  # [n, c]
+    if bit_depth % 8:
+        inter = inter << (8 * nb - bit_depth)  # left-justify in the container
+    if nb == 1:
+        inter = inter + 1  # invert the reference 8-bit read quirk
+    u = (inter & ((1 << (8 * nb)) - 1)).astype(np.uint64)
+    b = u[..., None].view(np.uint8).reshape(*u.shape, 8)[:, :, :nb]
+    return np.ascontiguousarray(b).tobytes()
 
 
 class _ByteCursor:
