@@ -161,3 +161,41 @@ def test_stereo_12_20_bit(rng, depth):
     cfg = EncoderConfig(block_size=1024)
     g, d = run_both(samples, depth, config=cfg, block=1024)
     assert_identical(g, d)
+
+
+@pytest.mark.parametrize("rem", [64, 97, 1000, 1023])
+def test_ragged_tail_on_device(rng, rem):
+    """Ragged final frames encode on device at their exact block size
+    (ctz(len) partition clamp + uncommon-block-size header) and stay
+    byte-identical to golden (libFLAC/rice.zig:82, FrameWriter.zig:163-169).
+    """
+    from zigflac_tpu.models.encoder import Encoder
+
+    B = 1024
+    cfg = EncoderConfig(block_size=B)
+    samples = make_signal(rng, 2 * B + rem, channels=2, depth=16, kind="mixed")
+    c, n = samples.shape
+
+    def full_encode(backend):
+        info = StreamInfo(44100, c, 16, n, B, B)
+        enc = Encoder(cfg, 16, backend=backend)
+        return enc.encode_stream(samples, info)
+
+    g = full_encode("golden")
+    d = full_encode("device")
+    assert g == d
+
+
+def test_tail_only_file_on_device(rng):
+    """A file shorter than one block (but >= the device-tail floor) encodes
+    entirely through the device tail path."""
+    from zigflac_tpu.models.encoder import Encoder
+
+    B = 1024
+    cfg = EncoderConfig(block_size=B)
+    samples = make_signal(rng, 300, channels=2, depth=16, kind="sine")
+    info_g = StreamInfo(44100, 2, 16, 300, B, B)
+    info_d = StreamInfo(44100, 2, 16, 300, B, B)
+    g = Encoder(cfg, 16, backend="golden").encode_stream(samples, info_g)
+    d = Encoder(cfg, 16, backend="device").encode_stream(samples, info_d)
+    assert g == d

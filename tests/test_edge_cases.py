@@ -165,32 +165,6 @@ def test_packer_constant_and_verbatim_33bit():
                np.zeros(B, np.int32), B)
 
 
-def test_grouped_deposit_matches_element(rng):
-    """deposit_words_grouped (the investigated windowed-scatter variant)
-    stays byte-identical to the production element path."""
-    import jax.numpy as jnp
-
-    from zigflac_tpu.ops.bitpack import (
-        GROUP_T,
-        deposit_words,
-        deposit_words_grouped,
-    )
-
-    n, s, W = 4, 200, 64
-    nbv = rng.integers(0, 20, (n, s)).astype(np.int32)
-    nb = nbv + rng.integers(0, 4, (n, s)).astype(np.int32)
-    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
-    val = (rng.integers(0, 2**31, (n, s), dtype=np.int64) &
-           ((1 << np.maximum(nbv, 1)) - 1)).astype(np.uint32)
-    val = np.where(nbv > 0, val, 0).astype(np.uint32)
-    a = deposit_words(jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W)
-    b, ovf = deposit_words_grouped(
-        jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W
-    )
-    assert not bool(np.asarray(ovf))
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:, :W])
-
-
 def test_wasted_bits_roundtrip(rng):
     """Wasted-bits extension: samples with common trailing zeros encode
     smaller and round-trip exactly (decoder restores the shift)."""

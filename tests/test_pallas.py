@@ -37,3 +37,108 @@ def test_pallas_compact_single_frame(rng):
     a, ta = compact_stream_aligned(words, fbj, capw)
     b, tb = compact_stream_pallas(words, fbj, capw, interpret=True)
     np.testing.assert_array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
+
+
+# -- windowed-binning deposit kernel (the production TPU deposit path) ------
+
+def _rand_stream(rng, n, s, max_nbv=20, gap=4, dtype=np.uint32):
+    """Random deposit stream: widths nb >= value widths nbv, some masked."""
+    nbv = rng.integers(0, max_nbv, (n, s)).astype(np.int32)
+    nb = nbv + rng.integers(0, gap, (n, s)).astype(np.int32)
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    val = rng.integers(0, 2**62, (n, s), dtype=np.int64).astype(np.uint64)
+    val &= (np.uint64(1) << nbv.astype(np.uint64)) - np.uint64(1)
+    val = np.where(nbv > 0, val, 0)
+    return d_cum, val.astype(dtype), nbv
+
+
+def _run_both(d_cum, val, nbv, W, **kw):
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.bitpack import _split_hi_lo, deposit_words
+    from zigflac_tpu.ops.pallas_deposit import deposit_words_binned
+
+    d_cum, val, nbv = jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv)
+    a = deposit_words(d_cum, val, nbv, W)
+    w0, hi, lo = _split_hi_lo(d_cum, val, nbv)
+    b, ovf = deposit_words_binned(w0, hi, lo, W, interpret=True, **kw)
+    return np.asarray(a), np.asarray(b), bool(np.asarray(ovf))
+
+
+def test_binned_deposit_matches_segsum(rng):
+    for n, s in [(3, 200), (2, 513), (1, 64)]:
+        d_cum, val, nbv = _rand_stream(rng, n, s)
+        W = int(d_cum.max() // 32) + 2
+        a, b, ovf = _run_both(d_cum, val, nbv, W)
+        assert not ovf
+        np.testing.assert_array_equal(a, b)
+
+
+def test_binned_deposit_u64_33bit(rng):
+    """33-bit side-channel deposits (u64 values) split across word pairs."""
+    d_cum, val, nbv = _rand_stream(rng, 2, 150, max_nbv=34, dtype=np.uint64)
+    W = int(d_cum.max() // 32) + 2
+    a, b, ovf = _run_both(d_cum, val, nbv, W)
+    assert not ovf
+    np.testing.assert_array_equal(a, b)
+
+
+def test_binned_deposit_span_overflow_detected(rng):
+    """A chunk spanning more than the window (pathological quotient run)
+    must raise the overflow flag so the caller takes the exact path."""
+    from zigflac_tpu.ops.pallas_deposit import CHUNK, WINDOW
+
+    n, s = 1, 2 * CHUNK
+    nb = np.full((n, s), 4, np.int32)
+    nb[0, 10] = (WINDOW + 4) * 32  # one giant field inside chunk 0
+    nbv = np.minimum(nb, 4)
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    val = np.full((n, s), 9, np.uint32)
+    _, _, ovf = _run_both(d_cum, val, nbv, int(d_cum.max() // 32) + 2)
+    assert ovf
+
+
+def test_binned_deposit_word_budget_clamp(rng):
+    """Deposits beyond max_words clamp into slack; the in-budget prefix
+    stays identical to the segment-sum path (which drops them)."""
+    d_cum, val, nbv = _rand_stream(rng, 2, 300)
+    W = int(d_cum.max() // 32) // 2  # budget smaller than the stream needs
+    a, b, ovf = _run_both(d_cum, val, nbv, W)
+    assert not ovf
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pack_frames_binned_matches_segsum(rng):
+    """Full pack_frames with deposit='binned' (interpret mode) is
+    byte-identical to the production segment-sum path."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.models.pipeline import _encode_batch_compact  # noqa: F401
+    from zigflac_tpu.ops.analyze import plan_frames
+    from zigflac_tpu.ops.bitpack import max_frame_words, pack_frames
+    from zigflac_tpu.ops.header import header_static
+    from zigflac_tpu.utils.config import EncoderConfig
+
+    B, n = 512, 4
+    cfg = EncoderConfig(block_size=B)
+    t = np.arange(n * B)
+    x = np.clip(
+        6000 * np.sin(2 * np.pi * 440 * t / 44100)
+        + rng.normal(0, 50, t.size),
+        -32768, 32767,
+    ).astype(np.int32)
+    frames = np.stack(
+        [x.reshape(n, B), (x // 3).reshape(n, B)], axis=1
+    )
+    fns = jnp.arange(n, dtype=jnp.int64)
+    plan = plan_frames(jnp.asarray(frames), 16, cfg)
+    hs = header_static(B, 44100, 16)
+    W = max_frame_words(B, 2, 16)
+    wa, ta, _ = pack_frames(plan, fns, hs, B, cfg.max_rice_order, W)
+    wb, tb, ovf = pack_frames(
+        plan, fns, hs, B, cfg.max_rice_order, W,
+        deposit="binned", interpret=True,
+    )
+    assert not bool(np.asarray(ovf))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))

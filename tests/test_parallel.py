@@ -77,3 +77,37 @@ def test_graft_dryrun_multichip(mesh):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(len(jax.devices()), 8))
+
+
+def test_product_pipeline_shards_by_default(rng, mesh):
+    """DevicePipeline auto-shards over all local devices: encode_wav_bytes
+    on the virtual 8-CPU mesh is byte-identical to forced single-device
+    (ZIGFLAC_MESH=0) and to golden."""
+    import io
+    import os
+
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+    from zigflac_tpu.models.pipeline import DevicePipeline as DP
+    from zigflac_tpu.wav import write_wav
+
+    B = 512
+    cfg = EncoderConfig(block_size=B)
+    samples = make_signal(rng, 11 * B + 100, channels=2, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, samples.astype(np.int32), 44100, 16)
+    wav_bytes = buf.getvalue()
+
+    pipe = DP(cfg, 16)
+    assert pipe._mesh is not None and pipe._mesh.devices.size >= 2
+
+    sharded = encode_wav_bytes(wav_bytes, config=cfg, backend="device")
+    golden = encode_wav_bytes(wav_bytes, config=cfg, backend="golden")
+    assert sharded == golden
+
+    os.environ["ZIGFLAC_MESH"] = "0"
+    try:
+        assert DP(cfg, 16)._mesh is None
+        single = encode_wav_bytes(wav_bytes, config=cfg, backend="device")
+    finally:
+        del os.environ["ZIGFLAC_MESH"]
+    assert sharded == single

@@ -121,7 +121,8 @@ class Encoder:
 
         stream = b""
         sizes = np.zeros(0, dtype=np.int64)
-        if n_full:
+        tail_dev = self.backend == "device" and _tail_on_device(rem)
+        if n_full or tail_dev:
             batch = (
                 samples[:, : n_full * block]
                 .reshape(c, n_full, block)
@@ -129,13 +130,14 @@ class Encoder:
             )
             if self.backend == "device":
                 stream, sizes = self._device_pipeline().encode_frames_stream(
-                    batch, 0, info
+                    batch, 0, info,
+                    tail=samples[:, n_full * block :] if tail_dev else None,
                 )
             else:
                 frames = self.encode_frames_batch(batch, 0, info)
                 stream = b"".join(frames)
                 sizes = np.array([len(b) for b in frames], dtype=np.int64)
-        if rem:
+        if rem and not tail_dev:
             planes = [samples[ch, n_full * block :] for ch in range(c)]
             last = self.encode_frame(planes, n_full, info)
             stream += last
@@ -190,13 +192,15 @@ def encode_to_file(
     n_full = n // block
     rem = n - n_full * block
     sizes = np.zeros(0, dtype=np.int64)
-    if n_full:
+    tail_dev = enc.backend == "device" and _tail_on_device(rem)
+    if n_full or tail_dev:
         batch = (
             samples[:, : n_full * block].reshape(c, n_full, block).transpose(1, 0, 2)
         )
         if enc.backend == "device":
             stream, sizes = enc._device_pipeline().encode_frames_stream(
-                batch, 0, info
+                batch, 0, info,
+                tail=samples[:, n_full * block :] if tail_dev else None,
             )
             out_file.write(stream)
         else:
@@ -204,7 +208,7 @@ def encode_to_file(
             for fr in frames:
                 out_file.write(fr)
             sizes = np.array([len(b) for b in frames], np.int64)
-    if rem:
+    if rem and not tail_dev:
         planes = [samples[ch, n_full * block :] for ch in range(c)]
         last = enc.encode_frame(planes, n_full, info)
         out_file.write(last)
@@ -220,6 +224,17 @@ def encode_to_file(
     out_file.write(streaminfo_block(info, is_last=False)[: HEADER_SIZE])
     out_file.flush()
     return info
+
+
+def _tail_on_device(rem: int) -> bool:
+    """Ragged tails >= TAIL_DEVICE_MIN encode on device at their exact
+    block size (the ctz(len) partition clamp and uncommon-block-size header
+    paths are fully device-resident); tiny tails keep the golden oracle."""
+    if not rem:
+        return False
+    from .pipeline import TAIL_DEVICE_MIN, device_tail_enabled
+
+    return rem >= TAIL_DEVICE_MIN and device_tail_enabled()
 
 
 def _device_available() -> bool:

@@ -39,6 +39,50 @@ from ..ops.crc16 import crc16_words
 from ..ops.header import HeaderStatic, header_static
 
 DEFAULT_BATCH = 1024
+
+# Ragged tail frames at or above this size encode on device at their exact
+# block size (one extra compiled shape per distinct tail length, batch 1);
+# smaller tails go through the golden host oracle. 64 safely clears the
+# warmup-slice floor (max fixed order 4, max LPC order 32).
+TAIL_DEVICE_MIN = 64
+
+
+def device_tail_enabled() -> bool:
+    """Tail frames ride the device path by default; ZIGFLAC_DEVICE_TAIL=0
+    opts out (useful where per-shape compiles are expensive, e.g. remote
+    relay harnesses encoding many files with distinct tail lengths)."""
+    import os
+
+    return os.environ.get("ZIGFLAC_DEVICE_TAIL", "1") != "0"
+
+
+def _default_deposit() -> str:
+    """Pallas windowed binning on real TPUs; exact segment-sums elsewhere
+    (the binned kernel is Mosaic-only — CPU tests exercise it via interpret
+    mode in tests/test_pallas.py). Override with ZIGFLAC_DEPOSIT for A/B."""
+    import os
+
+    forced = os.environ.get("ZIGFLAC_DEPOSIT")
+    if forced in ("segsum", "binned"):
+        return forced
+    return "binned" if jax.devices()[0].platform == "tpu" else "segsum"
+
+
+def _product_mesh():
+    """The mesh the production pipeline shards over: all local devices when
+    there is more than one (SURVEY §5: frame-axis data parallelism is the
+    framework's scaling story — the reference has no backend at all).
+    ZIGFLAC_MESH=0 forces single-device. None means single-device."""
+    import os
+
+    if os.environ.get("ZIGFLAC_MESH", "1") == "0":
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    from ..parallel.mesh import default_mesh
+
+    return default_mesh(devices)
 # capacity ladder: (output-stream budget, per-frame word budget) as
 # fractions of raw PCM bytes. Tier 0 covers typical audio; tier 1 covers
 # all-verbatim frames; the exact-worst-case padded-words path is the final
@@ -94,6 +138,7 @@ class DevicePipeline:
         self.config = config
         self.bit_depth = bit_depth
         self.batch_size = batch_size
+        self._mesh = _product_mesh()  # None = single device
 
     def _encode_batch_fn(self, n: int, c: int, block_size: int, sample_rate: int):
         """Words-path program (tests, mesh parity, capacity fallback)."""
@@ -120,11 +165,17 @@ class DevicePipeline:
         first_frame_number: int,
         info: StreamInfo,
         frame_numbers: np.ndarray | None = None,
+        tail: np.ndarray | None = None,
     ) -> Tuple[bytes, np.ndarray]:
         """[F, C, B] PCM int32 full frames -> (frame-stream bytes, sizes).
 
         ``frame_numbers`` overrides the default consecutive numbering (used
         by the batched multi-file path, where numbering restarts per file).
+        ``tail`` is an optional ragged final frame ``[C, rem]`` (rem < B),
+        encoded on device at its exact block size and numbered after the
+        full frames; its dispatch overlaps the main batches' collection, so
+        the per-file tail adds no wall-clock on a busy pipeline
+        (src/wav2flac.zig:64-75 encodes it as just another frame).
         """
         f, c, B = frames.shape
         bs = self.batch_size
@@ -132,11 +183,14 @@ class DevicePipeline:
             frame_numbers = first_frame_number + np.arange(f, dtype=np.int64)
 
         # dispatch all batches asynchronously (tier-0 capacity)
+        ndev = self._mesh.devices.size if self._mesh is not None else 1
         pending = []
         for start in range(0, f, bs):
             chunk = frames[start : start + bs]
             nreal = chunk.shape[0]
             bucket = min(bs, _next_pow2(nreal))
+            if bucket % ndev:  # shard evenly over the mesh
+                bucket += ndev - bucket % ndev
             fns = frame_numbers[start : start + nreal]
             if nreal < bucket:
                 pad = np.repeat(chunk[-1:], bucket - nreal, axis=0)
@@ -144,22 +198,64 @@ class DevicePipeline:
                 fns = np.concatenate(
                     [fns, np.repeat(fns[-1:], bucket - nreal)]
                 )
-            fn, frame_cap = self._compact_fn(c, B, info.sample_rate, 0, chunk.shape[0])
-            out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
-            pending.append((start, chunk, nreal, fns, out, frame_cap))
+            if self._mesh is not None:
+                from ..parallel.mesh import encode_compact_sharded
+
+                stream, meta, frame_cap = encode_compact_sharded(
+                    jnp.asarray(self._feed(chunk)), jnp.asarray(fns),
+                    self.config, self.bit_depth, info.sample_rate, 0,
+                    _default_deposit(), self._mesh,
+                )
+                out = (stream, meta)
+            else:
+                fn, frame_cap = self._compact_fn(
+                    c, B, info.sample_rate, 0, chunk.shape[0]
+                )
+                out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
+            pending.append((start, chunk, nreal, fns, out, frame_cap, B))
+
+        if tail is not None:
+            rem = tail.shape[1]
+            tchunk = tail[None, ...]
+            tfns = np.array([first_frame_number + f], np.int64)
+            fn, frame_cap = self._compact_fn(c, rem, info.sample_rate, 0, 1)
+            out = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns))
+            pending.append((f, tchunk, 1, tfns, out, frame_cap, rem))
 
         # collect in order; d2h of batch k overlaps compute of k+1..
         chunks: List[bytes] = []
         sizes: List[np.ndarray] = []
-        for start, chunk, nreal, fns, out, frame_cap in pending:
-            got = _collect_aligned(out, nreal, frame_cap)
+        for start, chunk, nreal, fns, out, frame_cap, blk in pending:
+            got = self._collect(out, nreal, frame_cap)
             if got is None:
-                got = self._encode_overflow(chunk, nreal, fns, c, B, info)
+                got = self._encode_overflow(chunk, nreal, fns, c, blk, info)
             chunks.append(got[0])
             sizes.append(got[1])
         return b"".join(chunks), (
             np.concatenate(sizes) if sizes else np.zeros(0, np.int64)
         )
+
+    def _collect(self, out, nreal: int, frame_cap: int):
+        """Fetch one dispatched batch. Sharded outputs carry one compact
+        stream per mesh device (rows, in frame order); each row collects
+        exactly like a single-device batch. None on any capacity overflow
+        (the whole batch then re-encodes through the ladder)."""
+        stream, meta = out
+        if meta.ndim == 1:
+            return _collect_aligned(out, nreal, frame_cap)
+        per_shard = meta.shape[1] - 2
+        parts: List[bytes] = []
+        szs: List[np.ndarray] = []
+        for s in range(meta.shape[0]):
+            local_real = min(per_shard, nreal - s * per_shard)
+            if local_real <= 0:
+                break
+            got = _collect_aligned((stream[s], meta[s]), local_real, frame_cap)
+            if got is None:
+                return None
+            parts.append(got[0])
+            szs.append(got[1])
+        return b"".join(parts), np.concatenate(szs)
 
     def _encode_overflow(self, chunk, nreal, fns, c, B, info):
         """Capacity-ladder fallback for batches that out-size tier 0."""
@@ -241,6 +337,7 @@ def _compiled_encode_compact(
                 block_size=block_size,
                 max_words=max_words,
                 capb=capb,
+                deposit=_default_deposit(),
             )
         ),
         max_words * 4,
@@ -280,6 +377,7 @@ def _encode_batch_compact(
     block_size: int,
     max_words: int,
     capb: int,
+    deposit: str = "segsum",
 ):
     frames = frames.astype(jnp.int32)
     plan = plan_frames(frames, depth, config)
@@ -288,8 +386,7 @@ def _encode_batch_compact(
         max_words,
         lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
         lpc_precision=config.lpc_precision,
-        grouped=False,  # grouped/windowed deposits measured 10x SLOWER on
-        # this TPU (see deposit_words_grouped notes); element scatters win
+        deposit=deposit,
     )
     byte_len = (total_bits + 7) >> 3
     crcs = crc16_words(words, byte_len)

@@ -300,10 +300,6 @@ def channel_symbols(
     return nb_full, front_cnt, dep_val, dep_nbv, side
 
 
-GROUP = 16       # symbols per window update
-GROUP_T = 32     # window width in words (= 1024 bits per 16-symbol group)
-
-
 def _split_hi_lo(d_cum, val, nbv):
     """Per-deposit word index + the two u32 word contributions."""
     d_start = d_cum - nbv
@@ -333,86 +329,16 @@ def _split_hi_lo(d_cum, val, nbv):
     return w0, jnp.where(live, hi, 0), jnp.where(live, lo, 0)
 
 
-def _window_scatter(operand, starts, updates):
-    """operand[n, starts[n,g] + t] += updates[n, g, t] — one vectorized
-    window update per group (TPU scatters cost per UPDATE, ~19ns, with the
-    whole window added at vector speed; per-element scatters cost ~11ns per
-    element, 10-100x more for the same bits)."""
-    dn = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(2,),
-        inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(1,),
-        operand_batching_dims=(0,),
-        scatter_indices_batching_dims=(0,),
-    )
-    return jax.lax.scatter_add(
-        operand, starts[..., None], updates, dn,
-        indices_are_sorted=True, unique_indices=False,
-    )
-
-
-def deposit_words_grouped(
-    d_cum: jnp.ndarray,
-    val: jnp.ndarray,
-    nbv: jnp.ndarray,
-    max_words: int,
-    operand: jnp.ndarray | None = None,
-):
-    """Grouped deposit: GROUP consecutive symbols accumulate into a local
-    GROUP_T-word window, then one windowed scatter-add per group places it.
-
-    STATUS — investigated and benched on v5e (2026-08): ~2.1s for
-    [1024, 8220] streams vs ~150ms for the per-element segment-sum path.
-    Windowed scatter-add does NOT amortize on this TPU at ~0.5M windows, and
-    the local window accumulation adds traffic on top. Kept (with tests) as
-    a record of the measured dead end; pack_frames uses grouped=False.
-
-    Returns (words-with-slack [N, max_words + GROUP_T] u32, overflow bool):
-    ``overflow`` is True when some group's deposits span more than GROUP_T
-    words (pathologically long Rice quotient runs) — the caller must fall
-    back to the exact per-element path for that batch.
-    """
-    n, s = d_cum.shape
-    pad = (-s) % GROUP
-    if pad:
-        padcol = lambda x, fill: jnp.concatenate(
-            [x, jnp.broadcast_to(fill, (n, pad)).astype(x.dtype)], axis=1
-        )
-        d_cum = padcol(d_cum, d_cum[:, -1:])
-        val = padcol(val, 0)
-        nbv = padcol(nbv, 0)
-    w0, hi, lo = _split_hi_lo(d_cum, val, nbv)
-    g = d_cum.shape[1] // GROUP
-    w0g = w0.reshape(n, g, GROUP)
-    hig = hi.reshape(n, g, GROUP)
-    log = lo.reshape(n, g, GROUP)
-    base = w0g[:, :, 0]
-    rel = w0g - base[:, :, None]  # [n, g, GROUP], 0 <= rel (monotone)
-    live = nbv.reshape(n, g, GROUP) > 0
-    overflow = ((rel + 1 >= GROUP_T) & live).any()
-
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP, GROUP_T), 3)
-    relx = rel[..., None]
-    acc = (
-        jnp.where(relx == t_iota, hig[..., None], 0)
-        + jnp.where(relx + 1 == t_iota, log[..., None], 0)
-    ).sum(axis=2).astype(jnp.uint32)  # [n, g, GROUP_T]
-
-    if operand is None:
-        operand = jnp.zeros((n, max_words + GROUP_T), jnp.uint32)
-    out = _window_scatter(operand, base, acc)
-    return out, overflow
-
-
 def deposit_words(
     d_cum: jnp.ndarray,
     val: jnp.ndarray,
     nbv: jnp.ndarray,
     max_words: int,
 ) -> jnp.ndarray:
-    """Exact per-element deposit path (no group-span limit): two sorted
-    segment-sums per stream. Used by the worst-case fallback program; the
-    compact tiers use deposit_words_grouped."""
+    """Exact per-element deposit path (no window-span limit): two sorted
+    segment-sums per stream. XLA serializes the scatters at ~16 ns/element,
+    so this is the fallback for streams whose chunks out-span the Pallas
+    window (pallas_deposit.deposit_words_binned is the fast path)."""
     w0, hi, lo = _split_hi_lo(d_cum, val, nbv)
 
     num_segments = max_words + 1
@@ -502,7 +428,8 @@ def pack_frames(
     max_words: int,
     lpc_order: int = 0,
     lpc_precision: int = 14,
-    grouped: bool = False,
+    deposit: str = "segsum",
+    interpret: bool = False,
 ):
     """Full frames (header + subframes) -> (words u32 [N, W], total_bits).
 
@@ -574,24 +501,24 @@ def pack_frames(
     )
     side_cum = jnp.take_along_axis(cum, side.slot.astype(jnp.int64), 1)
 
-    if grouped:
-        words_sl, overflow = deposit_words_grouped(
-            dep_cum, dep_val, dep_nbv, max_words
-        )
-        # params are sparse: one 2-word window per partition
-        sw0, shi, slo = _split_hi_lo(
-            side_cum, side.val.astype(jnp.uint32), side.nbv
-        )
-        words_sl = _window_scatter(
-            words_sl, sw0, jnp.stack([shi, slo], axis=-1)
-        )
-        return words_sl[:, :max_words], total_bits, overflow
-
-    words = deposit_words(dep_cum, dep_val, dep_nbv, max_words)
-    words = words + deposit_words(
+    # The param side stream stays on the segment-sum path either way: its
+    # keys are sorted but consecutive partition starts can be a whole
+    # partition's bits apart, so windowed binning cannot bound the span.
+    # It is ~6% of the element count.
+    side_words = deposit_words(
         side_cum, side.val.astype(jnp.uint32), side.nbv, max_words
     )
-    return words, total_bits, jnp.asarray(False)
+    if deposit == "binned":
+        from .pallas_deposit import deposit_words_binned
+
+        w0, hi, lo = _split_hi_lo(dep_cum, dep_val, dep_nbv)
+        main_words, overflow = deposit_words_binned(
+            w0, hi, lo, max_words, interpret=interpret
+        )
+        return main_words + side_words, total_bits, overflow
+
+    words = deposit_words(dep_cum, dep_val, dep_nbv, max_words)
+    return words + side_words, total_bits, jnp.asarray(False)
 
 
 def max_frame_words(

@@ -84,6 +84,85 @@ def _sharded_fn(config: EncoderConfig, depth: int, c: int, block_size: int,
 _MESHES = {}
 
 
+def _encode_shard_compact(frames, frame_numbers, *, config, depth, hstatic,
+                          block_size, max_words, capb, deposit):
+    """Per-shard production compact-stream encode: each chip packs and
+    byte-compacts its local frames; the host assembles shard streams in
+    frame order (frames are independent, so no collective is needed —
+    STREAMINFO min/max comes from the fetched per-frame sizes)."""
+    from ..models.pipeline import _encode_batch_compact
+
+    stream, meta = _encode_batch_compact(
+        frames, frame_numbers, config=config, depth=depth, hstatic=hstatic,
+        block_size=block_size, max_words=max_words, capb=capb,
+        deposit=deposit,
+    )
+    return stream[None], meta[None]
+
+
+@lru_cache(maxsize=32)
+def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
+                        block_size: int, sample_rate: int, tier: int,
+                        batch_local: int, deposit: str, mesh_key):
+    """The sharded twin of pipeline._compiled_encode_compact: one SPMD
+    program over the mesh, each shard running the tier's compact program on
+    ``batch_local`` frames. Returns (fn, per-frame word cap in bytes)."""
+    from ..models.pipeline import CAPACITY_LADDER
+
+    mesh = _MESHES[mesh_key]
+    hstatic = header_static(block_size, sample_rate, depth)
+    n_wire = 2 if config.stereo_auto else c
+    stream_ratio, words_ratio = CAPACITY_LADDER[tier]
+    max_words = max_frame_words(block_size, n_wire, depth, words_ratio)
+    raw_bytes = batch_local * block_size * c * max(depth, 8) // 8
+    capb = int(raw_bytes * stream_ratio) + 64 * batch_local
+    fn = partial(
+        _encode_shard_compact,
+        config=config,
+        depth=depth,
+        hstatic=hstatic,
+        block_size=block_size,
+        max_words=max_words,
+        capb=capb,
+        deposit=deposit,
+    )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+    )
+    return jax.jit(mapped), max_words * 4
+
+
+def encode_compact_sharded(
+    frames: jnp.ndarray,
+    frame_numbers: jnp.ndarray,
+    config: EncoderConfig,
+    depth: int,
+    sample_rate: int,
+    tier: int,
+    deposit: str,
+    mesh: Mesh,
+):
+    """Production sharded encode: [N, C, B] frames (N divisible by mesh
+    size) -> (stream u32 [ndev, capw_local], meta i64 [ndev, local+2]).
+    Row s of each output is shard s's compact stream / metadata vector, in
+    frame order — the host collects each row exactly like a single-device
+    batch."""
+    mesh_key = tuple(d.id for d in mesh.devices.flat)
+    _MESHES[mesh_key] = mesh
+    n, c, B = frames.shape
+    ndev = mesh.devices.size
+    if n % ndev != 0:
+        raise ValueError(f"frame count {n} not divisible by mesh size {ndev}")
+    fn, frame_cap = _sharded_compact_fn(
+        config, depth, c, B, sample_rate, tier, n // ndev, deposit, mesh_key
+    )
+    stream, meta = fn(frames, frame_numbers)
+    return stream, meta, frame_cap
+
+
 def encode_step_sharded(
     frames: jnp.ndarray,
     frame_numbers: jnp.ndarray,
