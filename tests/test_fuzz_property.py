@@ -1,0 +1,117 @@
+"""Property fuzz (ORACLE_AUDIT.md companion): randomized signals across
+depths, block sizes, channel counts, and signal classes must satisfy
+
+  (1) golden-encoded streams decode back to the exact input PCM,
+      pass CRC-8/CRC-16 verification, and the STREAMINFO MD5 matches
+      (the round-trip property from SURVEY §4 oracle (b)), and
+  (2) the device pipeline is byte-identical to golden over many random
+      contents at a fixed compiled shape (content fuzz, one compile).
+
+Seeded rng: failures reproduce deterministically.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from zigflac_tpu.decoder import decode_flac, verify_flac
+from zigflac_tpu.models.encoder import encode_wav_bytes
+from zigflac_tpu.utils.config import EncoderConfig
+from zigflac_tpu.wav import write_wav
+
+
+def _random_signal(rng, n, channels, depth):
+    """Random content drawn from a mix of encoder-decision-space classes."""
+    lo, hi = -(1 << (depth - 1)), (1 << (depth - 1)) - 1
+    kind = rng.integers(0, 7)
+    t = np.arange(n)
+    if kind == 0:  # silence / constant
+        x = np.full((channels, n), int(rng.integers(lo, hi + 1)), np.float64)
+    elif kind == 1:  # pure tone
+        f = rng.uniform(20, 8000)
+        x = 0.5 * hi * np.sin(2 * np.pi * f * t / 44100)[None, :].repeat(
+            channels, 0
+        )
+    elif kind == 2:  # white noise, full scale (verbatim-ish)
+        x = rng.uniform(lo, hi, (channels, n))
+    elif kind == 3:  # quiet noise (deep rice params)
+        x = rng.normal(0, max(2.0, hi * 1e-4), (channels, n))
+    elif kind == 4:  # tonal + noise (typical music-like)
+        f = rng.uniform(50, 2000)
+        x = 0.3 * hi * np.sin(2 * np.pi * f * t / 44100) + rng.normal(
+            0, hi * 0.01, (channels, n)
+        )
+    elif kind == 5:  # impulses in silence (escape partitions)
+        x = np.zeros((channels, n))
+        for _ in range(max(1, n // 64)):
+            x[rng.integers(0, channels), rng.integers(0, n)] = rng.integers(
+                lo, hi + 1
+            )
+    else:  # ramps (low fixed orders)
+        x = (t * rng.uniform(0.1, 50))[None, :].repeat(channels, 0) % (
+            hi - max(lo, -hi)
+        ) + lo / 2
+    return np.clip(np.round(x), lo, hi).astype(np.int32)
+
+
+@pytest.mark.parametrize("case", range(60))
+def test_fuzz_golden_roundtrip(case):
+    """Golden encode -> decode == input PCM, CRCs + MD5 verify, across
+    random (depth, block, channels, length incl. ragged tails)."""
+    rng = np.random.default_rng(0xF1AC_0000 + case)
+    depth = int(rng.choice([8, 12, 16, 20, 24, 32]))
+    channels = int(rng.integers(1, 4))
+    block = int(rng.choice([32, 64, 192, 256, 576, 1024]))
+    n = int(rng.integers(block // 2, 3 * block))
+    rate = int(rng.choice([8000, 44100, 48000, 12345, 96000]))
+    samples = _random_signal(rng, n, channels, depth)
+
+    buf = io.BytesIO()
+    write_wav(buf, samples, rate, depth)
+    wav_bytes = buf.getvalue()
+    cfg = EncoderConfig(
+        block_size=block,
+        channels="stereo_auto" if channels == 2 else channels,
+    )
+    flac = encode_wav_bytes(wav_bytes, config=cfg, backend="golden")
+
+    dec = decode_flac(flac)
+    assert dec.info.sample_rate == rate
+    assert dec.info.bit_depth == depth
+    # WAV depths < 32 sign-extend through the container quirks; compare
+    # against what the reader itself produced to include them
+    from zigflac_tpu.wav import WavReader
+
+    ref = WavReader.from_bytes(wav_bytes).planar_samples()
+    np.testing.assert_array_equal(dec.samples, ref.astype(np.int64))
+    assert dec.md5_ok, f"MD5 mismatch (case {case})"
+    assert verify_flac(flac)
+
+
+@pytest.mark.parametrize("chunk", range(4))
+def test_fuzz_device_matches_golden(chunk, rng):
+    """Content fuzz at one compiled shape: 40 random stereo 16-bit signals
+    per chunk of frames, device bytes == golden bytes."""
+    from zigflac_tpu import golden
+    from zigflac_tpu.metadata import StreamInfo
+    from zigflac_tpu.models.pipeline import DevicePipeline
+
+    B = 256
+    nf = 10
+    cfg = EncoderConfig(block_size=B)
+    r = np.random.default_rng(0xDE1CE + chunk)
+    planes = np.stack(
+        [
+            _random_signal(r, B, 2, 16)
+            for _ in range(nf)
+        ]
+    )  # [nf, 2, B]
+    info = StreamInfo(44100, 2, 16, nf * B, B, B)
+    g = [
+        golden.encode_frame([planes[i, 0], planes[i, 1]], i, info, cfg)
+        for i in range(nf)
+    ]
+    d = DevicePipeline(cfg, 16, batch_size=nf).encode_frames(planes, 0, info)
+    for i, (a, b) in enumerate(zip(g, d)):
+        assert a == b, f"frame {i} differs (chunk {chunk})"
