@@ -193,6 +193,51 @@ static PyObject* py_md5(PyObject*, PyObject* args) {
   return PyBytes_FromStringAndSize((const char*)out, 16);
 }
 
+// Streaming MD5: the context travels as opaque bytes so the Python side can
+// hold it without a capsule lifetime dance (Ctx is POD). Mirrors the
+// reference's incremental Md5.update over streamed WAV blocks
+// (src/Md5.zig + src/wav2flac.zig:64-75).
+static PyObject* py_md5_init(PyObject*, PyObject*) {
+  md5impl::Ctx c;
+  md5impl::init(&c);
+  return PyBytes_FromStringAndSize((const char*)&c, sizeof(c));
+}
+
+static PyObject* py_md5_update(PyObject*, PyObject* args) {
+  Py_buffer ctxb, buf;
+  if (!PyArg_ParseTuple(args, "y*y*", &ctxb, &buf)) return nullptr;
+  if ((size_t)ctxb.len != sizeof(md5impl::Ctx)) {
+    PyBuffer_Release(&ctxb);
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "bad md5 context size");
+    return nullptr;
+  }
+  md5impl::Ctx c;
+  memcpy(&c, ctxb.buf, sizeof(c));
+  Py_BEGIN_ALLOW_THREADS
+  md5impl::update(&c, (const uint8_t*)buf.buf, (size_t)buf.len);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&ctxb);
+  PyBuffer_Release(&buf);
+  return PyBytes_FromStringAndSize((const char*)&c, sizeof(c));
+}
+
+static PyObject* py_md5_final(PyObject*, PyObject* args) {
+  Py_buffer ctxb;
+  if (!PyArg_ParseTuple(args, "y*", &ctxb)) return nullptr;
+  if ((size_t)ctxb.len != sizeof(md5impl::Ctx)) {
+    PyBuffer_Release(&ctxb);
+    PyErr_SetString(PyExc_ValueError, "bad md5 context size");
+    return nullptr;
+  }
+  md5impl::Ctx c;
+  memcpy(&c, ctxb.buf, sizeof(c));
+  uint8_t out[16];
+  md5impl::final(&c, out);
+  PyBuffer_Release(&ctxb);
+  return PyBytes_FromStringAndSize((const char*)out, 16);
+}
+
 static PyObject* py_crc16(PyObject*, PyObject* args) {
   Py_buffer buf;
   unsigned int init = 0;
@@ -331,6 +376,10 @@ static PyMethodDef methods[] = {
     {"assemble_ranges", py_assemble_ranges, METH_VARARGS,
      "tighten a word-aligned frame stream into exact concatenation"},
     {"md5", py_md5, METH_VARARGS, "MD5 digest of a byte buffer"},
+    {"md5_init", py_md5_init, METH_NOARGS, "new streaming MD5 context (bytes)"},
+    {"md5_update", py_md5_update, METH_VARARGS,
+     "md5_update(ctx, data) -> updated ctx"},
+    {"md5_final", py_md5_final, METH_VARARGS, "md5_final(ctx) -> 16-byte digest"},
     {"crc16", py_crc16, METH_VARARGS, "CRC-16/UMTS (poly 0x18005, init 0)"},
     {"crc8", py_crc8, METH_VARARGS, "CRC-8/SMBUS (poly 0x07, init 0)"},
     {"deinterleave", py_deinterleave, METH_VARARGS,

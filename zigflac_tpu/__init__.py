@@ -45,12 +45,13 @@ if _cache_dir:
 
 from .metadata import StreamInfo, BlockType  # noqa: E402
 from .utils.config import EncoderConfig  # noqa: E402
-from .wav import WavReader, WavFormatError  # noqa: E402
+from .wav import WavReader, WavStreamReader, WavFormatError  # noqa: E402
 from .models.encoder import (  # noqa: E402
     Encoder,
     encode_wav_bytes,
     encode_wav_bytes_many,
     encode_file,
+    encode_file_streaming,
     encode_to_file,
 )
 from .decoder import decode_flac, verify_flac  # noqa: E402
@@ -62,11 +63,13 @@ __all__ = [
     "BlockType",
     "EncoderConfig",
     "WavReader",
+    "WavStreamReader",
     "WavFormatError",
     "Encoder",
     "encode_wav_bytes",
     "encode_wav_bytes_many",
     "encode_file",
+    "encode_file_streaming",
     "encode_to_file",
     "decode_flac",
     "verify_flac",

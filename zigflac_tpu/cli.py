@@ -90,9 +90,12 @@ def main(argv=None) -> int:
     )
 
     try:
-        from .wav import WavReader
+        from .wav import WavStreamReader
 
-        wav = WavReader.from_file(args.input)
+        # header-only parse: the encode itself streams the data chunk, so
+        # the CLI never holds the file in memory
+        with WavStreamReader.open(args.input) as wav:
+            pass
         cfg = EncoderConfig(
             channels="stereo_auto" if wav.channels == 2 else wav.channels,
             **cfg_kwargs,

@@ -371,6 +371,172 @@ def encode_wav_bytes(
     )
 
 
+def _count_seekpoints(total_samples: int, block: int, interval: int) -> int:
+    """How many seek points ``build_seekpoints`` will emit — derivable from
+    the geometry alone (points land on the first frame at or past each
+    interval threshold), so the streaming writer can reserve the SEEKTABLE
+    region before any frame is encoded."""
+    count = 0
+    next_at = 0
+    while True:
+        # first frame-start sample at or past the threshold
+        sample = ((next_at + block - 1) // block) * block
+        if sample >= total_samples:  # no frame starts there
+            return count
+        count += 1
+        next_at = sample + interval
+
+
+def encode_file_streaming(
+    input_path: str,
+    output_path: str,
+    config: Optional[EncoderConfig] = None,
+    backend: str = "auto",
+    tags: Optional[List] = None,
+    seek_interval: Optional[int] = None,
+    padding: int = 0,
+    extra_metadata: Optional[List[bytes]] = None,
+    frames_per_chunk: Optional[int] = None,
+) -> StreamInfo:
+    """O(chunk)-memory wav2flac: the host never materializes more than one
+    device batch of samples (plus the in-flight pipeline window), however
+    large the file — the streaming analog of src/wav2flac.zig:64-75, which
+    encodes 2^36-sample streams in O(frame) memory.
+
+    Byte-identical to the in-memory ``encode_wav_bytes`` path: the same
+    metadata chain is written up front (SEEKTABLE reserved at its exact final
+    size and patched on the closing seek-back, alongside the reference's
+    two-pass STREAMINFO protocol, src/wav2flac.zig:30-47), frames stream out
+    as each device batch collects, and the MD5 accumulates incrementally
+    (native streaming context, native.Md5Stream).
+    """
+    from collections import deque
+
+    from ..metadata import HEADER_SIZE
+    from ..native import Md5Stream
+    from ..wav import WavStreamReader
+
+    with WavStreamReader.open(input_path) as wav:
+        cfg = config or EncoderConfig.default(wav.channels)
+        info = wav.flac_streaminfo(cfg.block_size)
+        enc = Encoder(cfg, wav.bit_depth, backend=backend)
+        block = cfg.block_size
+        if frames_per_chunk is None:
+            frames_per_chunk = (
+                enc._device_pipeline().batch_size
+                if enc.backend == "device"
+                else 1024
+            )
+
+        with open(output_path, "wb") as out:
+            # -- metadata chain (STREAMINFO + SEEKTABLE patched at the end) --
+            out.write(b"\x00" * HEADER_SIZE)
+            seek_pos = None
+            n_points = 0
+            if seek_interval:
+                n_points = _count_seekpoints(
+                    info.interchannel_samples, block, seek_interval
+                )
+                seek_pos = out.tell()
+                out.write(
+                    seek_table_block([(0, 0, 0)] * n_points, is_last=False)
+                )
+            blocks = [vorbis_comment_block(is_last=False, tags=tags)]
+            for extra in extra_metadata or []:
+                blocks.append(extra)
+            if padding > 0:
+                blocks.append(padding_block(padding, is_last=False))
+            blocks[-1] = set_last_flag(blocks[-1])
+            for b in blocks:
+                out.write(b)
+
+            # -- stream frames chunk by chunk --------------------------------
+            md5 = Md5Stream()
+            sizes: List[np.ndarray] = []
+            pending: deque = deque()
+            frame_no = 0
+
+            def drain_one():
+                got = enc._device_pipeline().collect_batch(
+                    pending.popleft(), info
+                )
+                out.write(got[0])
+                sizes.append(got[1])
+
+            while True:
+                raw, planar = wav.read_samples(frames_per_chunk * block)
+                if planar.shape[1] == 0:
+                    break
+                md5.update(raw)
+                c, m = planar.shape
+                n_full = m // block
+                rem = m - n_full * block
+                tail_dev = enc.backend == "device" and _tail_on_device(rem)
+                if enc.backend == "device":
+                    pipe = enc._device_pipeline()
+                    if n_full:
+                        chunk = (
+                            planar[:, : n_full * block]
+                            .reshape(c, n_full, block)
+                            .transpose(1, 0, 2)
+                        )
+                        fns = frame_no + np.arange(n_full, dtype=np.int64)
+                        pending.append(pipe.dispatch_batch(chunk, fns, info))
+                    if tail_dev:
+                        pending.append(
+                            pipe.dispatch_tail(
+                                planar[:, n_full * block :],
+                                frame_no + n_full,
+                                info,
+                            )
+                        )
+                    # keep at most 2 batches in flight: the window bounds
+                    # host memory while device compute overlaps disk reads
+                    while len(pending) > 2:
+                        drain_one()
+                else:
+                    for i in range(n_full):
+                        planes = [
+                            planar[ch, i * block : (i + 1) * block]
+                            for ch in range(c)
+                        ]
+                        fb = enc.encode_frame(planes, frame_no + i, info)
+                        out.write(fb)
+                        sizes.append(np.array([len(fb)], np.int64))
+                if rem and not tail_dev:
+                    planes = [planar[ch, n_full * block :] for ch in range(c)]
+                    fb = enc.encode_frame(planes, frame_no + n_full, info)
+                    # ragged tails only occur on the final chunk, after all
+                    # in-flight full batches (frame order is preserved)
+                    while pending:
+                        drain_one()
+                    out.write(fb)
+                    sizes.append(np.array([len(fb)], np.int64))
+                frame_no += n_full + (1 if rem else 0)
+            while pending:
+                drain_one()
+
+            all_sizes = (
+                np.concatenate(sizes) if sizes else np.zeros(0, np.int64)
+            )
+            info.update_frame_sizes(all_sizes)
+            info.md5 = md5.digest()
+
+            # -- closing seek-back: STREAMINFO + SEEKTABLE -------------------
+            out.flush()
+            out.seek(0)
+            out.write(streaminfo_block(info, is_last=False)[:HEADER_SIZE])
+            if seek_pos is not None:
+                pts = build_seekpoints(
+                    all_sizes, block, seek_interval, info.interchannel_samples
+                )
+                assert len(pts) == n_points, "seekpoint geometry mismatch"
+                out.seek(seek_pos)
+                out.write(seek_table_block(pts, is_last=False))
+            out.flush()
+    return info
+
+
 def encode_file(
     input_path: str,
     output_path: str,
@@ -381,18 +547,10 @@ def encode_file(
     padding: int = 0,
     extra_metadata: Optional[List[bytes]] = None,
 ) -> StreamInfo:
-    with open(input_path, "rb") as f:
-        wav_bytes = f.read()
-    wav = WavReader.from_bytes(wav_bytes)
-    cfg = config or EncoderConfig.default(wav.channels)
-    info = wav.flac_streaminfo(cfg.block_size)
-    samples = wav.planar_samples()
-    enc = Encoder(cfg, wav.bit_depth, backend=backend)
-    out = enc.encode_stream(
-        samples, info, raw_pcm_bytes=bytes(wav.raw_pcm_bytes()), tags=tags,
+    """File-to-file wav2flac (src/main.zig + src/wav2flac.zig). Streams:
+    host memory stays O(device batch) regardless of file size."""
+    return encode_file_streaming(
+        input_path, output_path, config=config, backend=backend, tags=tags,
         seek_interval=seek_interval, padding=padding,
         extra_metadata=extra_metadata,
     )
-    with open(output_path, "wb") as f:
-        f.write(out)
-    return info

@@ -183,57 +183,79 @@ class DevicePipeline:
             frame_numbers = first_frame_number + np.arange(f, dtype=np.int64)
 
         # dispatch all batches asynchronously (tier-0 capacity)
-        ndev = self._mesh.devices.size if self._mesh is not None else 1
         pending = []
         for start in range(0, f, bs):
             chunk = frames[start : start + bs]
-            nreal = chunk.shape[0]
-            bucket = min(bs, _next_pow2(nreal))
-            if bucket % ndev:  # shard evenly over the mesh
-                bucket += ndev - bucket % ndev
-            fns = frame_numbers[start : start + nreal]
-            if nreal < bucket:
-                pad = np.repeat(chunk[-1:], bucket - nreal, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
-                fns = np.concatenate(
-                    [fns, np.repeat(fns[-1:], bucket - nreal)]
-                )
-            if self._mesh is not None:
-                from ..parallel.mesh import encode_compact_sharded
-
-                stream, meta, frame_cap = encode_compact_sharded(
-                    jnp.asarray(self._feed(chunk)), jnp.asarray(fns),
-                    self.config, self.bit_depth, info.sample_rate, 0,
-                    _default_deposit(), self._mesh,
-                )
-                out = (stream, meta)
-            else:
-                fn, frame_cap = self._compact_fn(
-                    c, B, info.sample_rate, 0, chunk.shape[0]
-                )
-                out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
-            pending.append((start, chunk, nreal, fns, out, frame_cap, B))
-
+            fns = frame_numbers[start : start + chunk.shape[0]]
+            pending.append(self.dispatch_batch(chunk, fns, info))
         if tail is not None:
-            rem = tail.shape[1]
-            tchunk = tail[None, ...]
-            tfns = np.array([first_frame_number + f], np.int64)
-            fn, frame_cap = self._compact_fn(c, rem, info.sample_rate, 0, 1)
-            out = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns))
-            pending.append((f, tchunk, 1, tfns, out, frame_cap, rem))
+            pending.append(
+                self.dispatch_tail(tail, first_frame_number + f, info)
+            )
 
         # collect in order; d2h of batch k overlaps compute of k+1..
         chunks: List[bytes] = []
         sizes: List[np.ndarray] = []
-        for start, chunk, nreal, fns, out, frame_cap, blk in pending:
-            got = self._collect(out, nreal, frame_cap)
-            if got is None:
-                got = self._encode_overflow(chunk, nreal, fns, c, blk, info)
+        for p in pending:
+            got = self.collect_batch(p, info)
             chunks.append(got[0])
             sizes.append(got[1])
         return b"".join(chunks), (
             np.concatenate(sizes) if sizes else np.zeros(0, np.int64)
         )
+
+    # -- dispatch/collect primitives (streaming feeder builds on these) -----
+
+    def dispatch_batch(self, chunk: np.ndarray, fns: np.ndarray, info) -> tuple:
+        """Asynchronously dispatch one batch of full frames ``[n<=bs, C, B]``
+        to the device (tier-0 capacity). Returns an opaque pending handle for
+        ``collect_batch``; compute overlaps anything the host does next."""
+        nreal, c, B = chunk.shape
+        ndev = self._mesh.devices.size if self._mesh is not None else 1
+        bucket = min(self.batch_size, _next_pow2(nreal))
+        if bucket % ndev:  # shard evenly over the mesh
+            bucket += ndev - bucket % ndev
+        if nreal < bucket:
+            pad = np.repeat(chunk[-1:], bucket - nreal, axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+            fns = np.concatenate([fns, np.repeat(fns[-1:], bucket - nreal)])
+        if self._mesh is not None:
+            from ..parallel.mesh import encode_compact_sharded
+
+            stream, meta, frame_cap = encode_compact_sharded(
+                jnp.asarray(self._feed(chunk)), jnp.asarray(fns),
+                self.config, self.bit_depth, info.sample_rate, 0,
+                _default_deposit(), self._mesh,
+            )
+            out = (stream, meta)
+        else:
+            fn, frame_cap = self._compact_fn(
+                c, B, info.sample_rate, 0, chunk.shape[0]
+            )
+            out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
+        return (chunk, nreal, fns, out, frame_cap, B)
+
+    def dispatch_tail(self, tail: np.ndarray, frame_number: int, info) -> tuple:
+        """Dispatch a ragged final frame ``[C, rem]`` at its exact block size
+        (batch 1); numbered ``frame_number``."""
+        rem = tail.shape[1]
+        c = tail.shape[0]
+        tchunk = tail[None, ...]
+        tfns = np.array([frame_number], np.int64)
+        fn, frame_cap = self._compact_fn(c, rem, info.sample_rate, 0, 1)
+        out = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns))
+        return (tchunk, 1, tfns, out, frame_cap, rem)
+
+    def collect_batch(self, pending: tuple, info) -> Tuple[bytes, np.ndarray]:
+        """Fetch one dispatched batch's frame bytes + sizes, re-encoding
+        through the capacity ladder on overflow."""
+        chunk, nreal, fns, out, frame_cap, blk = pending
+        got = self._collect(out, nreal, frame_cap)
+        if got is None:
+            got = self._encode_overflow(
+                chunk, nreal, fns, chunk.shape[1], blk, info
+            )
+        return got
 
     def _collect(self, out, nreal: int, frame_cap: int):
         """Fetch one dispatched batch. Sharded outputs carry one compact

@@ -28,6 +28,35 @@ def md5(data) -> bytes:
     return hashlib.md5(data).digest()
 
 
+class Md5Stream:
+    """Incremental MD5 over the raw PCM byte stream — the streaming feeder's
+    hash (the reference hashes block-by-block as it encodes,
+    src/wav2flac.zig:64-75). Uses the native context when built, hashlib
+    otherwise; both produce the digest ``md5()`` would over the
+    concatenation."""
+
+    __slots__ = ("_ctx", "_h")
+
+    def __init__(self) -> None:
+        if _n is not None and hasattr(_n, "md5_init"):
+            self._ctx = _n.md5_init()
+            self._h = None
+        else:
+            self._ctx = None
+            self._h = hashlib.md5()
+
+    def update(self, data) -> None:
+        if self._ctx is not None:
+            self._ctx = _n.md5_update(self._ctx, data)
+        else:
+            self._h.update(data)
+
+    def digest(self) -> bytes:
+        if self._ctx is not None:
+            return _n.md5_final(self._ctx)
+        return self._h.copy().digest()
+
+
 def crc16(data, init: int = 0) -> int:
     if _n is not None:
         return _n.crc16(data, init)

@@ -213,8 +213,12 @@ def rice_estimate(
             return jnp.minimum(bc, bc_best), jnp.where(smaller, k.astype(jnp.int32), k_best)
 
         # derive the k=0 init from data so its sharding/varying axes match
-        # the body output under shard_map
-        init = (psz + lhs, (psz ^ psz).astype(jnp.int32))
+        # the body output under shard_map. Both components must come from
+        # ``lhs`` (always residual-derived, hence device-varying): ``psz`` is
+        # replicated when the predictor order is static (LPC fixed-order
+        # path), and a replicated k_best init mismatches the varying body
+        # output inside fori_loop.
+        init = (psz + lhs, (lhs ^ lhs).astype(jnp.int32))
         best_bc, best_k = jax.lax.fori_loop(1, K, sweep_body, init)
         esc = best_k == max_param + 1
         best_bc = jnp.where(esc, psz * jnp.uint64(max_param + 1), best_bc)

@@ -43,74 +43,14 @@ class WavReader:
     def from_bytes(cls, raw: bytes | memoryview) -> "WavReader":
         buf = memoryview(raw)
         r = _ByteCursor(buf)
-        if r.take(4) != b"RIFF":
-            raise WavFormatError("NotRiffFile")
-        r.skip(4)  # chunk size
-        if r.take(4) != b"WAVE":
-            raise WavFormatError("NotWaveFile")
-        # skip chunks until "fmt "
-        while True:
-            tag = r.take(4)
-            if tag == b"fmt ":
-                break
-            r.skip(r.take_u32le())
-        r.skip(4)  # fmt chunk size
-        codec = r.take_u16le()
-        if codec not in (1, 0xFFFE):
-            raise WavFormatError("UnsupportCodec")
-        channels = r.take_u16le()
-        sample_rate = r.take_u32le()
-        byte_rate = r.take_u32le()
-        block_align = r.take_u16le()
-        bit_depth = r.take_u16le()
-        if not (4 <= bit_depth <= 32):
-            raise WavFormatError("UnsupportBitDepth")
-        if channels == 0:
-            raise WavFormatError("UnsupportCodec")
-        bytes_per_sample = block_align // channels
-        if byte_rate != sample_rate * channels * bytes_per_sample:
-            raise WavFormatError("BitRateUnmatch")
-        if codec == 0xFFFE:  # PCM_EXTEND
-            r.skip(2)  # extension size
-            bit_depth = r.take_u16le()  # valid bits per sample
-            r.skip(4 + 16)  # channel mask + subformat
-            if not (4 <= bit_depth <= 32):
-                raise WavFormatError("UnsupportBitDepth")
-        # The container stride must be 1..4 bytes and consistent with the
-        # bit depth, and block_align must be exactly channels * stride.
-        # The reference never decodes via block_align (WavReader.zig
-        # bytesToSample switches on bit_depth), so a mismatched stride would
-        # be a silent divergence here — and stride 0 or >4 would crash the
-        # native de-interleave (division by zero / negative shift).
-        if (
-            not 1 <= bytes_per_sample <= 4
-            or bytes_per_sample != (bit_depth + 7) // 8
-            or block_align != channels * bytes_per_sample
-        ):
-            raise WavFormatError("InvalidBlockAlign")
-        # skip chunks until "data"
-        while True:
-            try:
-                tag = r.take(4)
-            except EOFError as e:
-                raise WavFormatError("DataNotFound") from e
-            if tag == b"data":
-                break
-            r.skip(r.take_u32le())
-        data_len = r.take_u32le()
-        if block_align == 0 or data_len % block_align != 0:
-            raise WavFormatError("InvalidDataLen")
-        if bit_depth // 8 == 0:
-            # reference divides by (bit_depth/8): 4-bit input crashes there
-            # (src/WavReader.zig:170); we reject it cleanly.
-            raise WavFormatError("UnsupportBitDepth")
-        if bit_depth % 8 == 0:
-            samples_count = data_len // (channels * (bit_depth // 8))
-        else:
-            # 12/20-bit extension: the reference's formula miscounts and it
-            # crashes later anyway (FrameWriter.zig:207-209); count by the
-            # real container stride
-            samples_count = data_len // block_align
+        (
+            sample_rate,
+            bit_depth,
+            channels,
+            bytes_per_sample,
+            samples_count,
+            data_len,
+        ) = _parse_header(r)
         data = buf[r.pos : r.pos + data_len]
         if len(data) < data_len:
             raise WavFormatError("IncompleteStream")
@@ -199,6 +139,180 @@ def reconstruct_raw_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
     u = (inter & ((1 << (8 * nb)) - 1)).astype(np.uint64)
     b = u[..., None].view(np.uint8).reshape(*u.shape, 8)[:, :, :nb]
     return np.ascontiguousarray(b).tobytes()
+
+
+def _parse_header(r) -> tuple:
+    """Parse RIFF/WAVE headers from a cursor (take/skip/take_u16le/take_u32le)
+    up to and including the ``data`` chunk size; the cursor is left at the
+    first PCM byte. Shared by the in-memory (``WavReader.from_bytes``) and
+    streaming (``WavStreamReader``) feeders so the two parsers cannot
+    diverge. Matches src/WavReader.zig:118-171 (chunk skipping, PCM +
+    PCM_EXTEND, error taxonomy).
+
+    Returns ``(sample_rate, bit_depth, channels, bytes_per_sample,
+    samples_count, data_len)``.
+    """
+    if r.take(4) != b"RIFF":
+        raise WavFormatError("NotRiffFile")
+    r.skip(4)  # chunk size
+    if r.take(4) != b"WAVE":
+        raise WavFormatError("NotWaveFile")
+    # skip chunks until "fmt "
+    while True:
+        tag = r.take(4)
+        if tag == b"fmt ":
+            break
+        r.skip(r.take_u32le())
+    r.skip(4)  # fmt chunk size
+    codec = r.take_u16le()
+    if codec not in (1, 0xFFFE):
+        raise WavFormatError("UnsupportCodec")
+    channels = r.take_u16le()
+    sample_rate = r.take_u32le()
+    byte_rate = r.take_u32le()
+    block_align = r.take_u16le()
+    bit_depth = r.take_u16le()
+    if not (4 <= bit_depth <= 32):
+        raise WavFormatError("UnsupportBitDepth")
+    if channels == 0:
+        raise WavFormatError("UnsupportCodec")
+    bytes_per_sample = block_align // channels
+    if byte_rate != sample_rate * channels * bytes_per_sample:
+        raise WavFormatError("BitRateUnmatch")
+    if codec == 0xFFFE:  # PCM_EXTEND
+        r.skip(2)  # extension size
+        bit_depth = r.take_u16le()  # valid bits per sample
+        r.skip(4 + 16)  # channel mask + subformat
+        if not (4 <= bit_depth <= 32):
+            raise WavFormatError("UnsupportBitDepth")
+    # The container stride must be 1..4 bytes and consistent with the
+    # bit depth, and block_align must be exactly channels * stride.
+    # The reference never decodes via block_align (WavReader.zig
+    # bytesToSample switches on bit_depth), so a mismatched stride would
+    # be a silent divergence here — and stride 0 or >4 would crash the
+    # native de-interleave (division by zero / negative shift).
+    if (
+        not 1 <= bytes_per_sample <= 4
+        or bytes_per_sample != (bit_depth + 7) // 8
+        or block_align != channels * bytes_per_sample
+    ):
+        raise WavFormatError("InvalidBlockAlign")
+    # skip chunks until "data"
+    while True:
+        try:
+            tag = r.take(4)
+        except EOFError as e:
+            raise WavFormatError("DataNotFound") from e
+        if tag == b"data":
+            break
+        r.skip(r.take_u32le())
+    data_len = r.take_u32le()
+    if block_align == 0 or data_len % block_align != 0:
+        raise WavFormatError("InvalidDataLen")
+    if bit_depth // 8 == 0:
+        # reference divides by (bit_depth/8): 4-bit input crashes there
+        # (src/WavReader.zig:170); we reject it cleanly.
+        raise WavFormatError("UnsupportBitDepth")
+    if bit_depth % 8 == 0:
+        samples_count = data_len // (channels * (bit_depth // 8))
+    else:
+        # 12/20-bit extension: the reference's formula miscounts and it
+        # crashes later anyway (FrameWriter.zig:207-209); count by the
+        # real container stride
+        samples_count = data_len // block_align
+    return sample_rate, bit_depth, channels, bytes_per_sample, samples_count, data_len
+
+
+class WavStreamReader:
+    """Streaming WAV feeder: same header parse and sample semantics as
+    ``WavReader`` but reads the data chunk in bounded pieces from a file
+    object, so host memory stays O(chunk) however large the file
+    (src/WavReader.zig:64-75 reads one 4096-sample block at a time; we read
+    one device *batch* of blocks at a time).
+
+    Use as a context manager or call ``close()``; ``read_samples(n)`` returns
+    ``(raw_bytes, planar_int32[c, m])`` with ``m <= n`` (0 at EOF).
+    """
+
+    def __init__(self, f, *, _close: bool = False) -> None:
+        self._f = f
+        self._close = _close
+        (
+            self.sample_rate,
+            self.bit_depth,
+            self.channels,
+            self.bytes_per_sample,
+            self.samples_count,
+            self._data_len,
+        ) = _parse_header(_FileCursor(f))
+        self._remaining = self.samples_count
+
+    @classmethod
+    def open(cls, path: str) -> "WavStreamReader":
+        return cls(open(path, "rb"), _close=True)
+
+    def flac_streaminfo(self, block_size: int) -> StreamInfo:
+        return WavReader.flac_streaminfo(self, block_size)  # same gate
+
+    def read_samples(self, n: int):
+        """Read up to ``n`` per-channel samples: returns ``(raw, planar)``
+        where ``raw`` is the exact interleaved container byte stream (what
+        the STREAMINFO MD5 covers) and ``planar`` is ``[channels, m] int32``
+        with the reference's sign-extension semantics. ``m < n`` only at
+        stream end; ``(b"", empty)`` when exhausted."""
+        from .native import deinterleave
+
+        m = min(n, self._remaining)
+        if m <= 0:
+            return b"", np.zeros((self.channels, 0), dtype=np.int32)
+        stride = self.channels * self.bytes_per_sample
+        raw = self._f.read(m * stride)
+        if len(raw) < m * stride:
+            raise WavFormatError("IncompleteStream")
+        self._remaining -= m
+        planar = deinterleave(raw, self.channels, self.bytes_per_sample,
+                              self.bit_depth, m)
+        return raw, planar
+
+    def close(self) -> None:
+        if self._close:
+            self._f.close()
+
+    def __enter__(self) -> "WavStreamReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _FileCursor:
+    """Header cursor over a binary file object (bounds-checked skip)."""
+
+    __slots__ = ("f", "size")
+
+    def __init__(self, f) -> None:
+        self.f = f
+        pos = f.tell()
+        f.seek(0, 2)
+        self.size = f.tell()
+        f.seek(pos)
+
+    def take(self, n: int) -> bytes:
+        out = self.f.read(n)
+        if len(out) < n:
+            raise EOFError("unexpected end of WAV")
+        return out
+
+    def skip(self, n: int) -> None:
+        if self.f.tell() + n > self.size:
+            raise EOFError("unexpected end of WAV")
+        self.f.seek(n, 1)
+
+    def take_u16le(self) -> int:
+        return int.from_bytes(self.take(2), "little")
+
+    def take_u32le(self) -> int:
+        return int.from_bytes(self.take(4), "little")
 
 
 class _ByteCursor:
