@@ -372,7 +372,324 @@ static PyObject* py_assemble_ranges(PyObject*, PyObject* args) {
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// FLAC frame batch parser (the decoder's serial host stage)
+// ---------------------------------------------------------------------------
+// The bit-serial part of decoding — sync/header fields, subframe headers,
+// Rice/unary residual extraction — is inherently sequential, so it lives
+// here, mirroring the encoder split (serial WAV feed on host, arithmetic on
+// device). Every subframe type is normalized to one predictor form the
+// device synthesis scan consumes: values[] (warmup samples then residuals,
+// or literal samples), qcoeffs[32] (int, q[j] multiplies s[i-1-j]),
+// shift, order, wasted. Constant/verbatim become order-0 literals; fixed
+// orders use the binomial coefficients with shift 0 (libFLAC/fixed.zig).
+
+namespace frameparse {
+
+struct BitRd {
+  const uint8_t* d;
+  size_t len;     // bytes
+  size_t bit;     // absolute bit position
+  bool ok;
+
+  uint32_t read(int n) {  // n <= 32, MSB-first
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+      size_t byte = bit >> 3;
+      if (byte >= len) { ok = false; return 0; }
+      v = (v << 1) | ((d[byte] >> (7 - (bit & 7))) & 1u);
+      bit++;
+    }
+    return v;
+  }
+  int64_t read_signed(int n) {
+    if (n == 0) return 0;
+    uint64_t v = 0;
+    for (int i = 0; i < n; i++) {
+      size_t byte = bit >> 3;
+      if (byte >= len) { ok = false; return 0; }
+      v = (v << 1) | ((d[byte] >> (7 - (bit & 7))) & 1u);
+      bit++;
+    }
+    if (v & (1ull << (n - 1))) v -= (1ull << n);
+    return (int64_t)v;
+  }
+  uint32_t read_unary() {
+    uint32_t q = 0;
+    for (;;) {
+      size_t byte = bit >> 3;
+      if (byte >= len) { ok = false; return 0; }
+      uint32_t b = (d[byte] >> (7 - (bit & 7))) & 1u;
+      bit++;
+      if (b) return q;
+      q++;
+      if (q > (1u << 24)) { ok = false; return 0; }  // corrupt-stream guard
+    }
+  }
+};
+
+static const int64_t FIXED_Q[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+// residuals for one subframe into out[pred_order..block_size)
+static bool residual_partitions(BitRd& r, int64_t* out, int block_size,
+                                int pred_order) {
+  uint32_t method = r.read(2);
+  if (!r.ok || method > 1) return false;
+  int plen = 4 + (int)method;
+  uint32_t escape = (1u << plen) - 1;
+  uint32_t po = r.read(4);
+  int idx = pred_order;
+  for (uint32_t p = 0; p < (1u << po); p++) {
+    int psz = block_size >> po;
+    if (p == 0) psz -= pred_order;
+    if (psz < 0 || idx + psz > block_size) return false;
+    uint32_t param = r.read(plen);
+    if (!r.ok) return false;
+    if (param == escape) {
+      uint32_t bps = r.read(5);
+      if (bps == 0) {
+        for (int i = 0; i < psz; i++) out[idx++] = 0;
+      } else {
+        for (int i = 0; i < psz; i++) out[idx++] = r.read_signed((int)bps);
+      }
+    } else {
+      int k = (int)param;
+      for (int i = 0; i < psz; i++) {
+        uint64_t q = r.read_unary();
+        uint64_t z = (q << k) | (k ? r.read(k) : 0);
+        out[idx++] = (int64_t)(z >> 1) ^ -(int64_t)(z & 1);
+      }
+    }
+    if (!r.ok) return false;
+  }
+  return idx == block_size;
+}
+
+struct SubframeOut {
+  int64_t* values;   // [B]
+  int64_t* qcoeffs;  // [32]
+  int32_t shift, order, wasted;
+};
+
+static bool parse_subframe(BitRd& r, int block_size, int sample_size,
+                           SubframeOut& o) {
+  if (r.read(1) != 0 || !r.ok) return false;
+  uint32_t type = r.read(6);
+  o.wasted = 0;
+  if (r.read(1) == 1) {
+    o.wasted = 1 + (int32_t)r.read_unary();
+    sample_size -= o.wasted;
+    if (sample_size <= 0) return false;
+  }
+  if (!r.ok) return false;
+  std::memset(o.qcoeffs, 0, 32 * sizeof(int64_t));
+  o.shift = 0;
+  if (type == 0) {  // constant
+    int64_t v = r.read_signed(sample_size);
+    for (int i = 0; i < block_size; i++) o.values[i] = v;
+    o.order = 0;
+  } else if (type == 1) {  // verbatim
+    for (int i = 0; i < block_size; i++)
+      o.values[i] = r.read_signed(sample_size);
+    o.order = 0;
+  } else if (type >= 8 && type <= 12) {  // fixed
+    int order = (int)(type & 7);
+    if (order > block_size) return false;
+    for (int i = 0; i < order; i++) o.values[i] = r.read_signed(sample_size);
+    for (int j = 0; j < order; j++) o.qcoeffs[j] = FIXED_Q[order][j];
+    o.order = order;
+    if (!residual_partitions(r, o.values, block_size, order)) return false;
+  } else if (type >= 32) {  // LPC
+    int order = (int)(type & 31) + 1;
+    if (order > block_size) return false;
+    for (int i = 0; i < order; i++) o.values[i] = r.read_signed(sample_size);
+    int precision = (int)r.read(4) + 1;
+    if (precision == 16) return false;
+    int64_t shift = r.read_signed(5);
+    if (shift < 0) return false;
+    o.shift = (int32_t)shift;
+    for (int j = 0; j < order; j++) o.qcoeffs[j] = r.read_signed(precision);
+    o.order = order;
+    if (!residual_partitions(r, o.values, block_size, order)) return false;
+  } else {
+    return false;
+  }
+  return r.ok;
+}
+
+static const int BSIZE_CODES[16] = {-1, 192,  576,  1152, 2304, 4608, -6, -7,
+                                    256, 512, 1024, 2048, 4096, 8192, 16384,
+                                    32768};
+static const int DEPTH_CODES[16] = {0, -1, 8, -1, 12, -1, -1, -1,
+                                    16, -1, 20, -1, 24, -1, 32, -1};
+
+}  // namespace frameparse
+
+// parse_frames(data, start, max_frames, sinfo_depth, channels)
+//   -> (nframes, end_pos, block_size, values, qcoeffs, shift_order_wasted,
+//       chcode, fnum, crc_ok)
+// Parses consecutive frames sharing one block size (stops early at a frame
+// with a different block size — the caller re-invokes for the tail). All
+// output buffers are bytes in C order:
+//   values  i64 [n, C, B]    qcoeffs i64 [n, C, 32]
+//   sow     i32 [n, C, 3]    (shift, order, wasted)
+//   chcode  i32 [n]          fnum i64 [n]        crc_ok u8 [n]
+static PyObject* py_parse_frames(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  Py_ssize_t start, max_frames;
+  int sinfo_depth, channels;
+  if (!PyArg_ParseTuple(args, "y*nnii", &buf, &start, &max_frames,
+                        &sinfo_depth, &channels))
+    return nullptr;
+  using namespace frameparse;
+  const uint8_t* data = (const uint8_t*)buf.buf;
+  size_t len = (size_t)buf.len;
+
+  std::vector<int64_t> values, qcoeffs;
+  std::vector<int32_t> sow, chcode;
+  std::vector<int64_t> fnum;
+  std::vector<uint8_t> crc_ok;
+  int batch_bs = -1;
+  size_t pos = (size_t)start;
+  int nframes = 0;
+  const char* err = nullptr;
+
+  Py_BEGIN_ALLOW_THREADS
+  while (nframes < max_frames && pos + 2 <= len) {
+    BitRd r{data, len, pos * 8, true};
+    uint32_t sync = r.read(14);
+    if (!r.ok || sync != 0x3FFE) { err = "bad frame sync"; break; }
+    r.read(1);
+    r.read(1);
+    uint32_t bs_code = r.read(4);
+    uint32_t sr_code = r.read(4);
+    uint32_t ch_code = r.read(4);
+    uint32_t depth_code = r.read(4);
+    // UTF-8 coded frame number
+    int64_t fn;
+    {
+      uint32_t first = r.read(8);
+      if (first < 0x80) {
+        fn = first;
+      } else {
+        int ncont = 0;
+        uint32_t mask = 0x40;
+        while (first & mask) { ncont++; mask >>= 1; }
+        int64_t v = first & (mask - 1);
+        for (int i = 0; i < ncont; i++) {
+          uint32_t b = r.read(8);
+          if ((b & 0xC0) != 0x80) { r.ok = false; break; }
+          v = (v << 6) | (b & 0x3F);
+        }
+        fn = v;
+      }
+      if (!r.ok) { err = "bad UTF-8 frame number"; break; }
+    }
+    int bs;
+    if (bs_code == 6) bs = (int)r.read(8) + 1;
+    else if (bs_code == 7) bs = (int)r.read(16) + 1;
+    else if (BSIZE_CODES[bs_code] > 0) bs = BSIZE_CODES[bs_code];
+    else { err = "reserved block size code"; break; }
+    if (sr_code == 12) r.read(8);
+    else if (sr_code == 13 || sr_code == 14) r.read(16);
+    if (!r.ok) { err = "truncated header"; break; }
+    if (batch_bs < 0) batch_bs = bs;
+    else if (bs != batch_bs) break;  // tail frame: next call handles it
+
+    size_t header_end = r.bit >> 3;
+    uint8_t c8 = 0;
+    for (size_t i = pos; i < header_end; i++) c8 = crc8_table[c8 ^ data[i]];
+    uint32_t got8 = r.read(8);
+    bool crc_good = r.ok && got8 == c8;
+    int depth = DEPTH_CODES[depth_code];
+    if (depth < 0) { err = "unsupported depth code"; break; }
+    if (depth == 0) depth = sinfo_depth;
+
+    int C = channels;
+    if (ch_code <= 7) {
+      if ((int)ch_code + 1 != C) { err = "channel count mismatch"; break; }
+    } else if (ch_code <= 10) {
+      if (C != 2) { err = "stereo decorrelation on non-stereo"; break; }
+    } else { err = "reserved channel code"; break; }
+
+    size_t vbase = values.size();
+    values.resize(vbase + (size_t)C * batch_bs, 0);
+    size_t qbase = qcoeffs.size();
+    qcoeffs.resize(qbase + (size_t)C * 32, 0);
+    size_t sbase = sow.size();
+    sow.resize(sbase + (size_t)C * 3, 0);
+
+    bool frame_ok = true;
+    for (int ch = 0; ch < C && frame_ok; ch++) {
+      int ss = depth;
+      if (ch_code == 8 && ch == 1) ss = depth + 1;   // left-side: side
+      if (ch_code == 9 && ch == 0) ss = depth + 1;   // side-right: side
+      if (ch_code == 10 && ch == 1) ss = depth + 1;  // mid-side: side
+      SubframeOut o;
+      o.values = values.data() + vbase + (size_t)ch * batch_bs;
+      o.qcoeffs = qcoeffs.data() + qbase + (size_t)ch * 32;
+      frame_ok = parse_subframe(r, batch_bs, ss, o);
+      if (frame_ok) {
+        int32_t* s = sow.data() + sbase + (size_t)ch * 3;
+        s[0] = o.shift; s[1] = o.order; s[2] = o.wasted;
+      }
+    }
+    if (!frame_ok) {
+      values.resize(vbase);
+      qcoeffs.resize(qbase);
+      sow.resize(sbase);
+      err = "bad subframe";
+      break;
+    }
+    // byte-align, CRC-16 footer
+    r.bit = (r.bit + 7) & ~(size_t)7;
+    size_t body_end = r.bit >> 3;
+    if (body_end + 2 > len) {
+      values.resize(vbase);
+      qcoeffs.resize(qbase);
+      sow.resize(sbase);
+      err = "truncated frame";
+      break;
+    }
+    uint16_t c16 = crc16_update(0, data + pos, body_end - pos);
+    uint32_t got16 = r.read(16);
+    crc_good = crc_good && r.ok && got16 == c16;
+
+    chcode.push_back((int32_t)ch_code);
+    fnum.push_back(fn);
+    crc_ok.push_back(crc_good ? 1 : 0);
+    pos = body_end + 2;
+    nframes++;
+  }
+  Py_END_ALLOW_THREADS
+
+  if (nframes == 0 && err) {
+    PyErr_SetString(PyExc_ValueError, err);
+    PyBuffer_Release(&buf);
+    return nullptr;
+  }
+  PyBuffer_Release(&buf);
+  PyObject* pv = PyBytes_FromStringAndSize(
+      (const char*)values.data(), (Py_ssize_t)(values.size() * 8));
+  PyObject* pq = PyBytes_FromStringAndSize(
+      (const char*)qcoeffs.data(), (Py_ssize_t)(qcoeffs.size() * 8));
+  PyObject* ps = PyBytes_FromStringAndSize(
+      (const char*)sow.data(), (Py_ssize_t)(sow.size() * 4));
+  PyObject* pc = PyBytes_FromStringAndSize(
+      (const char*)chcode.data(), (Py_ssize_t)(chcode.size() * 4));
+  PyObject* pf = PyBytes_FromStringAndSize(
+      (const char*)fnum.data(), (Py_ssize_t)(fnum.size() * 8));
+  PyObject* pk = PyBytes_FromStringAndSize(
+      (const char*)crc_ok.data(), (Py_ssize_t)crc_ok.size());
+  return Py_BuildValue("(nnnNNNNNN)", (Py_ssize_t)nframes, (Py_ssize_t)pos,
+                       (Py_ssize_t)(batch_bs < 0 ? 0 : batch_bs), pv, pq, ps,
+                       pc, pf, pk);
+}
+
 static PyMethodDef methods[] = {
+    {"parse_frames", py_parse_frames, METH_VARARGS,
+     "batch-parse FLAC frames into device-synthesis form"},
     {"assemble_ranges", py_assemble_ranges, METH_VARARGS,
      "tighten a word-aligned frame stream into exact concatenation"},
     {"md5", py_md5, METH_VARARGS, "MD5 digest of a byte buffer"},

@@ -1,0 +1,89 @@
+"""Batch decoder (native C++ parse + device synthesis scan) must agree
+exactly with the scalar host decoder on every stream shape the encoder can
+emit. BASELINE config 5: decoder round-trip, bit-exact PCM."""
+
+import io
+
+import numpy as np
+import pytest
+
+from conftest import make_signal
+from zigflac_tpu.decoder import decode_flac, verify_flac
+from zigflac_tpu.models.encoder import encode_wav_bytes
+from zigflac_tpu.native import HAVE_NATIVE
+from zigflac_tpu.utils.config import EncoderConfig
+from zigflac_tpu.wav import write_wav
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_NATIVE, reason="native extension not built"
+)
+
+
+def _flac(rng, n, depth=16, channels=2, kind="mixed", **cfg_kw):
+    sig = make_signal(rng, n, channels=channels, depth=depth, kind=kind)
+    buf = io.BytesIO()
+    write_wav(buf, sig, 44100, depth)
+    cfg = EncoderConfig(
+        channels="stereo_auto" if channels == 2 else channels,
+        **{"block_size": 256, **cfg_kw},
+    )
+    return encode_wav_bytes(buf.getvalue(), config=cfg, backend="golden")
+
+
+def _assert_same(flac):
+    dh = decode_flac(flac, backend="host")
+    dd = decode_flac(flac, backend="device")
+    np.testing.assert_array_equal(dh.samples, dd.samples)
+    assert dh.frame_count == dd.frame_count
+    assert dh.md5_ok and dd.md5_ok
+
+
+@pytest.mark.parametrize("kind", ["silence", "constant", "sine", "mixed",
+                                  "noise", "alternating"])
+def test_batch_decode_kinds(rng, kind):
+    _assert_same(_flac(rng, 256 * 5 + 100, kind=kind))
+
+
+@pytest.mark.parametrize("depth,channels", [(8, 1), (12, 2), (16, 2),
+                                            (20, 2), (24, 2), (32, 2)])
+def test_batch_decode_depths(rng, depth, channels):
+    _assert_same(_flac(rng, 256 * 4 + 33, depth=depth, channels=channels))
+
+
+def test_batch_decode_lpc(rng):
+    _assert_same(
+        _flac(rng, 256 * 6 + 17, kind="sine", prediction="lpc", lpc_order=8)
+    )
+
+
+def test_batch_decode_wasted_bits(rng):
+    sig = make_signal(rng, 256 * 4, depth=16, kind="mixed") & ~0x7
+    buf = io.BytesIO()
+    write_wav(buf, sig, 44100, 16)
+    cfg = EncoderConfig(block_size=256, channels="stereo_auto",
+                        wasted_bits=True)
+    _assert_same(encode_wav_bytes(buf.getvalue(), config=cfg, backend="golden"))
+
+
+def test_batch_decode_verbatim_escape(rng):
+    # incompressible noise at full scale forces verbatim subframes and
+    # escape partitions
+    _assert_same(_flac(rng, 256 * 3 + 55, kind="noise"))
+
+
+def test_batch_decode_large_multibatch(rng):
+    # more frames than one parse batch (512): exercises the re-invoke loop
+    flac = _flac(rng, 256 * 530, kind="sine")
+    _assert_same(flac)
+
+
+def test_batch_verify_corrupt_stream(rng):
+    flac = bytearray(_flac(rng, 256 * 3))
+    assert verify_flac(bytes(flac))
+    flac[len(flac) // 2] ^= 0xFF  # flip bits mid-frame
+    assert not verify_flac(bytes(flac))
+
+
+def test_batch_verify_truncated(rng):
+    flac = _flac(rng, 256 * 3)
+    assert not verify_flac(flac[: len(flac) - 40])

@@ -309,16 +309,95 @@ def decode_frame(
     return samples, frame_number, body_end + 2
 
 
-def decode_flac(data: bytes, check_crc: bool = True) -> DecodedStream:
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
+
+
+_BATCH_FRAMES = 512
+
+
+def _decode_batch(data: bytes, pos: int, info: StreamInfo, check_crc: bool):
+    """Native parse + device synthesis for up to _BATCH_FRAMES consecutive
+    frames sharing one block size. Returns (samples [C, m] int64, n_frames,
+    end_pos). The serial bit extraction runs in C++ (zf_native.parse_frames);
+    every subframe then synthesizes in one vectorized device scan
+    (ops/synth.py) — the decoding dual of the encoder's frames-as-batch
+    design."""
+    import _zf_native as _n
+
+    from .ops.synth import recombine_stereo, synthesize_batch
+
+    C = info.channels
+    try:
+        (n, end, B, vb, qb, sb, cb, fb, kb) = _n.parse_frames(
+            data, pos, _BATCH_FRAMES, info.bit_depth, C
+        )
+    except ValueError as e:
+        raise FlacDecodeError(str(e)) from e
+    if n == 0:
+        return np.zeros((C, 0), np.int64), 0, pos
+    values = np.frombuffer(vb, np.int64).reshape(n, C, B)
+    qco = np.frombuffer(qb, np.int64).reshape(n, C, 32)
+    sow = np.frombuffer(sb, np.int32).reshape(n, C, 3)
+    ch_code = np.frombuffer(cb, np.int32)
+    crc_ok = np.frombuffer(kb, np.uint8)
+    if check_crc and not crc_ok.all():
+        bad = int(np.argmin(crc_ok))
+        raise FlacDecodeError(f"frame CRC mismatch (frame {bad} of batch)")
+
+    # pad the subframe axis to a power-of-two bucket: one compiled synthesis
+    # program per (bucket, B) instead of one per frame count
+    M = n * C
+    bucket = _next_pow2(M)
+    v2 = values.reshape(M, B)
+    q2 = qco.reshape(M, 32)
+    s2 = sow.reshape(M, 3)
+    if bucket != M:
+        padn = bucket - M
+        v2 = np.concatenate([v2, np.zeros((padn, B), np.int64)])
+        q2 = np.concatenate([q2, np.zeros((padn, 32), np.int64)])
+        s2 = np.concatenate([s2, np.zeros((padn, 3), np.int32)])
+    wire = synthesize_batch(v2, q2, s2[:, 0], s2[:, 1], s2[:, 2])
+    wire = wire[:M].reshape(n, C, B)
+    if C == 2 and (ch_code >= 8).any():
+        wire = recombine_stereo(wire, ch_code)
+    samples = np.asarray(wire)
+    if np.abs(samples).max(initial=0) >= (1 << 40):
+        raise FlacDecodeError("synthesis diverged — corrupt stream")
+    return samples.transpose(1, 0, 2).reshape(C, n * B), n, end
+
+
+def decode_flac(
+    data: bytes, check_crc: bool = True, backend: str = "auto"
+) -> DecodedStream:
+    """Decode a FLAC stream.
+
+    ``backend``: "device" batches frames through the native C++ bit parser +
+    the vectorized device synthesis scan; "host" is the scalar per-sample
+    reference path; "auto" picks device when the native extension is built.
+    Both produce identical samples (tests/test_decoder_batch.py).
+    """
+    from . import native as _native
+
+    if backend == "auto":
+        backend = "device" if _native.HAVE_NATIVE and hasattr(
+            _native._n, "parse_frames"
+        ) else "host"
     info, vendor, tags, seektable, pos = _parse_metadata(data)
     chunks: List[np.ndarray] = []
     frame_count = 0
     total = 0
     while total < info.interchannel_samples and pos < len(data):
-        samples, _fn, pos = decode_frame(data, pos, info, check_crc)
+        if backend == "device":
+            samples, nfr, pos = _decode_batch(data, pos, info, check_crc)
+            if nfr == 0:
+                break
+            frame_count += nfr
+        else:
+            samples, _fn, pos = decode_frame(data, pos, info, check_crc)
+            frame_count += 1
         chunks.append(samples)
         total += samples.shape[1]
-        frame_count += 1
     if total != info.interchannel_samples:
         raise FlacDecodeError(
             f"decoded {total} samples, STREAMINFO says {info.interchannel_samples}"
