@@ -14,6 +14,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compilation cache: the suite is compile-bound (measured:
+# test_lpc.py 140s cold -> 35s warm), so repeat runs reuse compiled CPU
+# executables. zigflac_tpu/__init__.py wires the cache when this env var is
+# set; it stays off by default in production (the axon TPU backend cannot
+# serialize executables).
+os.environ.setdefault(
+    "ZIGFLAC_TPU_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -77,3 +77,34 @@ def test_lpc_noise_falls_back(rng):
     fixed = encode_wav_bytes(wav_bytes, backend="golden")
     lpc = encode_wav_bytes(wav_bytes, config=lpc_cfg(), backend="golden")
     assert len(lpc) <= len(fixed) * 1.02
+
+
+def test_lag_sums_jnp_equals_numpy(rng):
+    """The integer lag sums are the cross-platform determinism anchor:
+    device (jnp) and golden (numpy) must produce identical int64 limbs."""
+    import jax.numpy as jnp
+
+    from conftest import make_signal
+    from zigflac_tpu.ops.lpc import lag_sums, lag_sums_np
+
+    for depth, kind in [(16, "mixed"), (24, "sine"), (32, "noise")]:
+        planes = make_signal(rng, 512, channels=2, depth=depth, kind=kind)
+        a = np.asarray(lag_sums(jnp.asarray(planes), 8))
+        b = lag_sums_np(planes, 8)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_coeffs_from_lags_shapes_and_silence(rng):
+    from zigflac_tpu.ops.lpc import (
+        coeffs_from_lags,
+        lag_sums_np,
+        lpc_candidate_orders,
+    )
+
+    orders = lpc_candidate_orders(8)
+    planes = np.zeros((3, 256), np.int32)  # silence: must not NaN/crash
+    out = coeffs_from_lags(lag_sums_np(planes, 8), orders, 15)
+    assert [o for o, *_ in out] == list(orders)
+    for o, qc, sh, ok in out:
+        assert qc.shape == (3, 32) and not np.isnan(sh).any()
+        assert (qc[:, o:] == 0).all()

@@ -1,11 +1,11 @@
-"""Pallas compaction kernel vs the XLA formulation (interpret mode on CPU;
-the real-TPU path is exercised by bench/pipeline when enabled)."""
+"""Device bit-packing kernels: the group-aligned compaction gather and the
+windowed-binning Pallas deposit kernel (interpret mode on CPU; the real-TPU
+path is exercised by bench/pipeline)."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from zigflac_tpu.ops.bitpack import compact_stream_aligned
-from zigflac_tpu.ops.pallas_compact import compact_stream_pallas
+from zigflac_tpu.ops.bitpack import ALIGN_W, compact_stream_aligned
 
 
 def _mk(rng, n, W):
@@ -20,23 +20,26 @@ def _mk(rng, n, W):
     return jnp.asarray(wn), jnp.asarray(fb), fb
 
 
-def test_pallas_compact_matches_xla(rng):
-    for n, W in [(4, 8), (16, 40), (64, 17)]:
+def test_compact_group_aligned_matches_reference(rng):
+    """The gather-based compaction must lay frames at ALIGN_W-word group
+    boundaries with each frame's used words copied verbatim (the host
+    assembly drops the inter-frame pad bytes by exact byte length)."""
+    for n, W in [(4, ALIGN_W), (16, 5 * ALIGN_W), (64, 3 * ALIGN_W)]:
         words, fbj, fb = _mk(rng, n, W)
-        capw = int(((fb + 3) // 4).sum()) + 8
-        a, ta = compact_stream_aligned(words, fbj, capw)
-        b, tb = compact_stream_pallas(words, fbj, capw, interpret=True)
-        ta, tb = int(ta), int(tb)
-        assert ta == tb
-        np.testing.assert_array_equal(np.asarray(a)[:ta], np.asarray(b)[:tb])
-
-
-def test_pallas_compact_single_frame(rng):
-    words, fbj, fb = _mk(rng, 1, 12)
-    capw = int(((fb + 3) // 4).sum()) + 4
-    a, ta = compact_stream_aligned(words, fbj, capw)
-    b, tb = compact_stream_pallas(words, fbj, capw, interpret=True)
-    np.testing.assert_array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
+        gcnt = (fb + 4 * ALIGN_W - 1) // (4 * ALIGN_W)
+        capw = int(gcnt.sum() + 2) * ALIGN_W
+        out, total = compact_stream_aligned(words, fbj, capw)
+        out = np.asarray(out)
+        assert int(total) == int(gcnt.sum()) * ALIGN_W
+        wn = np.asarray(words)
+        goff = np.cumsum(gcnt) - gcnt
+        for i in range(n):
+            used = int(gcnt[i]) * ALIGN_W
+            np.testing.assert_array_equal(
+                out[goff[i] * ALIGN_W : goff[i] * ALIGN_W + used],
+                wn[i, :used],
+                err_msg=f"frame {i}",
+            )
 
 
 # -- windowed-binning deposit kernel (the production TPU deposit path) ------

@@ -156,3 +156,20 @@ def test_encode_file_is_streaming_and_bounded(tmp_path, rng, monkeypatch):
         assert out.read_bytes() == encode_wav_bytes(
             f.read(), config=cfg, backend="device"
         )
+
+
+def test_cli_decode_roundtrip(tmp_path, rng):
+    """flac2wav CLI: encode, decode back, byte-identical WAV."""
+    from zigflac_tpu.cli import main
+
+    block = 256
+    path = _wav_file(tmp_path, rng, block * 4 + 50)
+    flac = tmp_path / "a.flac"
+    wav2 = tmp_path / "back.wav"
+    assert main([str(path), str(flac), "--block-size", str(block)]) == 0
+    assert main(["--decode", str(flac), str(wav2), "--verify"]) == 0
+    assert wav2.read_bytes() == path.read_bytes()
+    # invalid stream -> exit 2
+    bad = tmp_path / "bad.flac"
+    bad.write_bytes(b"fLaC garbage")
+    assert main(["--decode", str(bad), str(wav2)]) == 2

@@ -29,8 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="wav2flac",
         description="TPU-native FLAC encoder (zigflac_tpu)",
     )
-    p.add_argument("input", help="input WAV file")
-    p.add_argument("output", help="output FLAC file")
+    p.add_argument("input", help="input WAV file (FLAC with --decode)")
+    p.add_argument("output", help="output FLAC file (WAV with --decode)")
+    p.add_argument(
+        "-d", "--decode", action="store_true",
+        help="decode FLAC to WAV instead of encoding (flac2wav)",
+    )
     p.add_argument("--block-size", type=int, default=4096)
     p.add_argument(
         "--prediction", choices=["fixed", "none", "lpc"], default="fixed"
@@ -74,8 +78,52 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _decode_main(args) -> int:
+    """flac2wav: decode + verify, write PCM WAV (decoder round-trip,
+    BASELINE config 5 — the reference has no decoder at all)."""
+    from .decoder import FlacDecodeError, decode_flac
+    from .wav import write_wav
+
+    try:
+        with open(args.input, "rb") as f:
+            data = f.read()
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    t0 = time.perf_counter()
+    try:
+        dec = decode_flac(data, check_crc=True)
+    except (FlacDecodeError, EOFError, IndexError) as e:
+        print(f"error: invalid FLAC stream ({e})", file=sys.stderr)
+        return 2
+    dt = time.perf_counter() - t0
+    if args.verify and not dec.md5_ok:
+        print("verify: FAILED (MD5 mismatch)", file=sys.stderr)
+        return 3
+    write_wav(args.output, dec.samples, dec.info.sample_rate, dec.info.bit_depth)
+    if args.stats:
+        import os
+
+        realtime = (
+            dec.info.interchannel_samples / dec.info.sample_rate
+            if dec.info.sample_rate
+            else 0
+        )
+        print(
+            f"decoded {os.path.getsize(args.input)/1e6:.2f} MB -> "
+            f"{os.path.getsize(args.output)/1e6:.2f} MB in {dt*1e3:.1f} ms"
+            + (f" = {realtime/dt:.0f}x realtime" if realtime else "")
+        )
+    if args.verify:
+        print("verify: ok")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.decode:
+        return _decode_main(args)
 
     from .models.encoder import encode_file
     from .wav import WavFormatError

@@ -269,12 +269,14 @@ def choose_subframe(
     best = SubframeChoice("fixed", fixed_bits, order or 0, rice_cfg, residuals)
 
     if config.prediction == "lpc":
-        # Extension (the reference stubs LPC): run the SAME jnp analysis the
-        # device pipeline uses so both backends decide identically. The
-        # candidate loop mirrors the device's first-strictly-smaller rule.
-        from .ops.lpc import analyze_lpc_multi
+        # Extension (the reference stubs LPC): the coefficient math shares
+        # ONE host implementation with the device pipeline — exact integer
+        # lag sums + host float Levinson/quantize (ops/lpc.py) — so both
+        # backends decide identically on any platform. The candidate loop
+        # mirrors the device's first-strictly-smaller rule.
+        from .ops.lpc import analyze_lpc_multi_np
 
-        for o, l_res, l_q, l_shift, l_ok in analyze_lpc_multi(
+        for o, l_res, l_q, l_shift, l_ok in analyze_lpc_multi_np(
             plane[None], lpc_order, config.lpc_precision
         ):
             if not bool(np.asarray(l_ok)[0]):

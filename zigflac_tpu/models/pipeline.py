@@ -28,7 +28,7 @@ import numpy as np
 
 from ..metadata import StreamInfo
 from ..utils.config import EncoderConfig
-from ..ops.analyze import plan_frames
+from ..ops.analyze import plan_frames, plan_lag_sums
 from ..ops.bitpack import (
     compact_stream_aligned,
     deposit_crc16,
@@ -99,6 +99,8 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
     exact frame-byte concatenation. None on capacity overflow."""
     from ..native import assemble_ranges
 
+    from ..ops.bitpack import ALIGN_W
+
     stream, meta = out
     meta = np.asarray(meta)  # single round trip: sizes + total + overflow
     if meta[-1] != 0:
@@ -106,9 +108,11 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
     fsz = meta[:nreal].astype(np.int64)
     if int(fsz.max()) > frame_cap:
         return None  # some frame out-sized its per-frame word budget
-    wcnt = (fsz + 3) >> 2
-    woff = np.cumsum(wcnt) - wcnt
-    need = int(woff[-1] + wcnt[-1])
+    # frames start on ALIGN_W-word groups in the compact stream (mirrors
+    # ops/bitpack.compact_stream_aligned's layout)
+    gcnt = (fsz + 4 * ALIGN_W - 1) // (4 * ALIGN_W)
+    woff = (np.cumsum(gcnt) - gcnt) * ALIGN_W
+    need = int((woff[-1] // ALIGN_W + gcnt[-1]) * ALIGN_W)
     # real frames are the stream prefix; padded tail frames may overflow
     if need > stream.shape[0]:
         return None
@@ -206,6 +210,26 @@ class DevicePipeline:
 
     # -- dispatch/collect primitives (streaming feeder builds on these) -----
 
+    def _lpc_host_pre(self, chunk: np.ndarray, info):
+        """LPC phase 1 (opt-in prediction mode): device integer lag sums ->
+        small fetch -> host float Levinson + quantization (the only float
+        math, one shared IEEE-deterministic implementation — ops/lpc.py).
+        Returns (qc [n, P, K, 32] i32, shift [n, P, K] i32, ok bool) or None
+        for non-LPC configs."""
+        if self.config.prediction != "lpc":
+            return None
+        from ..ops.lpc import coeffs_from_lags, lpc_candidate_orders
+
+        n, c, B = chunk.shape
+        lag_fn = _compiled_lpc_lags(self.config, self.bit_depth, c, B)
+        lags = np.asarray(lag_fn(jnp.asarray(self._feed(chunk))))
+        orders = lpc_candidate_orders(self.config.lpc_order)
+        pre = coeffs_from_lags(lags, orders, self.config.lpc_precision)
+        qc = np.stack([p[1] for p in pre], axis=2)
+        sh = np.stack([p[2] for p in pre], axis=2)
+        ok = np.stack([p[3] for p in pre], axis=2)
+        return qc, sh, ok
+
     def dispatch_batch(self, chunk: np.ndarray, fns: np.ndarray, info) -> tuple:
         """Asynchronously dispatch one batch of full frames ``[n<=bs, C, B]``
         to the device (tier-0 capacity). Returns an opaque pending handle for
@@ -219,21 +243,25 @@ class DevicePipeline:
             pad = np.repeat(chunk[-1:], bucket - nreal, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
             fns = np.concatenate([fns, np.repeat(fns[-1:], bucket - nreal)])
+        pre = self._lpc_host_pre(chunk, info)
+        pre_j = (
+            tuple(jnp.asarray(x) for x in pre) if pre is not None else ()
+        )
         if self._mesh is not None:
             from ..parallel.mesh import encode_compact_sharded
 
             stream, meta, frame_cap = encode_compact_sharded(
                 jnp.asarray(self._feed(chunk)), jnp.asarray(fns),
                 self.config, self.bit_depth, info.sample_rate, 0,
-                _default_deposit(), self._mesh,
+                _default_deposit(), self._mesh, lpc_pre=pre_j,
             )
             out = (stream, meta)
         else:
             fn, frame_cap = self._compact_fn(
                 c, B, info.sample_rate, 0, chunk.shape[0]
             )
-            out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
-        return (chunk, nreal, fns, out, frame_cap, B)
+            out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns), *pre_j)
+        return (chunk, nreal, fns, out, frame_cap, B, pre_j)
 
     def dispatch_tail(self, tail: np.ndarray, frame_number: int, info) -> tuple:
         """Dispatch a ragged final frame ``[C, rem]`` at its exact block size
@@ -242,18 +270,20 @@ class DevicePipeline:
         c = tail.shape[0]
         tchunk = tail[None, ...]
         tfns = np.array([frame_number], np.int64)
+        pre = self._lpc_host_pre(tchunk, info)
+        pre_j = tuple(jnp.asarray(x) for x in pre) if pre is not None else ()
         fn, frame_cap = self._compact_fn(c, rem, info.sample_rate, 0, 1)
-        out = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns))
-        return (tchunk, 1, tfns, out, frame_cap, rem)
+        out = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns), *pre_j)
+        return (tchunk, 1, tfns, out, frame_cap, rem, pre_j)
 
     def collect_batch(self, pending: tuple, info) -> Tuple[bytes, np.ndarray]:
         """Fetch one dispatched batch's frame bytes + sizes, re-encoding
         through the capacity ladder on overflow."""
-        chunk, nreal, fns, out, frame_cap, blk = pending
+        chunk, nreal, fns, out, frame_cap, blk, pre_j = pending
         got = self._collect(out, nreal, frame_cap)
         if got is None:
             got = self._encode_overflow(
-                chunk, nreal, fns, chunk.shape[1], blk, info
+                chunk, nreal, fns, chunk.shape[1], blk, info, pre_j
             )
         return got
 
@@ -279,17 +309,17 @@ class DevicePipeline:
             szs.append(got[1])
         return b"".join(parts), np.concatenate(szs)
 
-    def _encode_overflow(self, chunk, nreal, fns, c, B, info):
+    def _encode_overflow(self, chunk, nreal, fns, c, B, info, pre_j=()):
         """Capacity-ladder fallback for batches that out-size tier 0."""
         fn1, frame_cap = self._compact_fn(c, B, info.sample_rate, 1, chunk.shape[0])
-        out = fn1(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
+        out = fn1(jnp.asarray(self._feed(chunk)), jnp.asarray(fns), *pre_j)
         got = _collect_aligned(out, nreal, frame_cap)
         if got is not None:
             return got
         # exact worst-case: padded words path
         fnw = self._encode_batch_fn(chunk.shape[0], c, B, info.sample_rate)
         words, total_bits, crcs = fnw(
-            jnp.asarray(chunk.astype(np.int32)), jnp.asarray(fns)
+            jnp.asarray(chunk.astype(np.int32)), jnp.asarray(fns), *pre_j
         )
         words = np.asarray(words)[:nreal]
         byte_len = (np.asarray(total_bits)[:nreal] + 7) // 8
@@ -366,9 +396,36 @@ def _compiled_encode_compact(
     )
 
 
+@lru_cache(maxsize=32)
+def _compiled_lpc_lags(config: EncoderConfig, depth: int, c: int, block_size: int):
+    """LPC phase-1 program: exact integer autocorrelation limb sums for the
+    candidate planes (ops/analyze.plan_lag_sums). Integer-only, so the
+    result is bit-identical on any backend."""
+    return jax.jit(
+        lambda frames: plan_lag_sums(frames.astype(jnp.int32), depth, config)
+    )
+
+
+def _lpc_pre_list(config: EncoderConfig, lpc_qc, lpc_sh, lpc_ok):
+    """Rebuild the per-candidate-order list analyze_planes consumes from the
+    flat (qc [n, P, K, 32], shift [n, P, K], ok [n, P, K]) program inputs."""
+    if lpc_qc is None:
+        return None
+    from ..ops.lpc import lpc_candidate_orders
+
+    orders = lpc_candidate_orders(config.lpc_order)
+    return [
+        (o, lpc_qc[:, :, k], lpc_sh[:, :, k], lpc_ok[:, :, k])
+        for k, o in enumerate(orders)
+    ]
+
+
 def _encode_batch(
     frames: jnp.ndarray,
     frame_numbers: jnp.ndarray,
+    lpc_qc=None,
+    lpc_sh=None,
+    lpc_ok=None,
     *,
     config: EncoderConfig,
     depth: int,
@@ -377,7 +434,10 @@ def _encode_batch(
     max_words: int,
 ):
     frames = frames.astype(jnp.int32)
-    plan = plan_frames(frames, depth, config)
+    plan = plan_frames(
+        frames, depth, config,
+        lpc_pre=_lpc_pre_list(config, lpc_qc, lpc_sh, lpc_ok),
+    )
     words, total_bits, _ovf = pack_frames(
         plan, frame_numbers, hstatic, block_size, config.max_rice_order,
         max_words,
@@ -392,6 +452,9 @@ def _encode_batch(
 def _encode_batch_compact(
     frames: jnp.ndarray,
     frame_numbers: jnp.ndarray,
+    lpc_qc=None,
+    lpc_sh=None,
+    lpc_ok=None,
     *,
     config: EncoderConfig,
     depth: int,
@@ -402,7 +465,10 @@ def _encode_batch_compact(
     deposit: str = "segsum",
 ):
     frames = frames.astype(jnp.int32)
-    plan = plan_frames(frames, depth, config)
+    plan = plan_frames(
+        frames, depth, config,
+        lpc_pre=_lpc_pre_list(config, lpc_qc, lpc_sh, lpc_ok),
+    )
     words, total_bits, overflow = pack_frames(
         plan, frame_numbers, hstatic, block_size, config.max_rice_order,
         max_words,

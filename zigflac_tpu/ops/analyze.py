@@ -254,12 +254,30 @@ def rice_estimate(
     return bits, method, best_po, params
 
 
+def _apply_wasted(planes: jnp.ndarray, sample_size: int, config):
+    """Wasted-bits shave (extension — the reference always writes 0): the
+    common trailing zero bits of the plane come off and the samples encode
+    at a reduced width; the subframe header carries k. Shared by the
+    analysis and the LPC lag-sum program so both see identical planes."""
+    batch_shape = planes.shape[:-1]
+    if not config.wasted_bits:
+        return planes, jnp.zeros(batch_shape, jnp.int32)
+    ored = _tree_or(planes)
+    bw = 64 if planes.dtype == jnp.int64 else 32
+    lowbit = ored & (-ored)
+    ctz = (bw - 1) - jax.lax.clz(lowbit)
+    wasted = jnp.where(ored != 0, ctz, 0).astype(jnp.int32)
+    wasted = jnp.clip(wasted, 0, sample_size - 1)
+    return planes >> wasted[..., None].astype(planes.dtype), wasted
+
+
 def analyze_planes(
     planes: jnp.ndarray,
     bits_of_t: int,
     sample_size: int,
     block_size: int,
     config: EncoderConfig,
+    lpc_pre=None,
 ) -> PlaneAnalysis:
     """Full per-plane subframe decision (libFLAC/Encoder.zig:320-376).
 
@@ -274,19 +292,7 @@ def analyze_planes(
     batch_shape = planes.shape[:-1]
     wide = not (sample_size < 28 and bits_of_t == 32)
 
-    if config.wasted_bits:
-        # extension (the reference has no wasted-bits support): shave the
-        # common trailing zero bits of the plane and encode the shifted
-        # samples at a reduced width; the subframe header carries k
-        ored = _tree_or(planes)
-        bw = 64 if planes.dtype == jnp.int64 else 32
-        lowbit = ored & (-ored)
-        ctz = (bw - 1) - jax.lax.clz(lowbit)
-        wasted = jnp.where(ored != 0, ctz, 0).astype(jnp.int32)
-        wasted = jnp.clip(wasted, 0, sample_size - 1)
-        planes = planes >> wasted[..., None].astype(planes.dtype)
-    else:
-        wasted = jnp.zeros(batch_shape, jnp.int32)
+    planes, wasted = _apply_wasted(planes, sample_size, config)
 
     all_eq = (planes == planes[..., :1]).all(axis=-1)
     verb_bits = jnp.uint64(B * bits_of_t)
@@ -323,15 +329,21 @@ def analyze_planes(
     qcoeffs, qshift = zq, z32
 
     if config.prediction == "lpc":
-        # extension: LPC candidates at several orders (one Levinson
-        # recursion) compete with the best fixed predictor on estimated
-        # bits + coefficient overhead; first strictly-smaller cost wins
-        from .lpc import analyze_lpc_multi
+        # extension: LPC candidates at several orders compete with the best
+        # fixed predictor on estimated bits + coefficient overhead; first
+        # strictly-smaller cost wins. Coefficients arrive precomputed from
+        # the deterministic host stage (ops/lpc.py coeffs_from_lags, fed by
+        # the device integer lag sums) — only the integer residual
+        # computation runs here.
+        from .lpc import lpc_residuals
 
+        assert lpc_pre is not None, (
+            "LPC prediction needs precomputed coefficients (lpc_pre)"
+        )
         use_lpc = jnp.zeros(batch_shape, bool)
-        for o, l_res, l_q, l_shift, l_ok in analyze_lpc_multi(
-            planes, lpc_order, config.lpc_precision
-        ):
+        for o, l_q, l_shift, l_okq in lpc_pre:
+            l_res, l_fits = lpc_residuals(planes, l_q, l_shift, o)
+            l_ok = l_okq & l_fits
             l_order = jnp.full(batch_shape, o, jnp.int32)
             l_bits, l_method, l_po, l_params = rice_estimate(
                 l_res, l_order, B, config.max_rice_order, max_param
@@ -344,9 +356,8 @@ def analyze_planes(
             params = jnp.where(better[..., None], l_params, params)
             residuals = jnp.where(better[..., None], l_res, residuals)
             order = jnp.where(better, l_order, order)
-            pad = [(0, 0)] * l_q.ndim
-            pad[-1] = (0, 32 - o)
-            qcoeffs = jnp.where(better[..., None], jnp.pad(l_q, pad), qcoeffs)
+            # l_q arrives 32-wide (zero-padded past the order) from the host
+            qcoeffs = jnp.where(better[..., None], l_q, qcoeffs)
             qshift = jnp.where(better, l_shift, qshift)
             use_lpc = use_lpc | better
         pred_kind = jnp.where(use_lpc, 3, 2).astype(jnp.int32)
@@ -398,12 +409,12 @@ class FrameWirePlan(NamedTuple):
 
 
 def plan_frames_indep(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig
+    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None
 ) -> FrameWirePlan:
     """Independent channels: each analyzed and written as-is
     (libFLAC/Encoder.zig:242-247)."""
     n, c, B = frames.shape
-    a = analyze_planes(frames, 32, depth, B, config)
+    a = analyze_planes(frames, 32, depth, B, config, lpc_pre=lpc_pre)
     planes_w = frames >> a.wasted[..., None]
     return FrameWirePlan(
         channels_code=jnp.full((n,), c - 1, jnp.int32),
@@ -421,8 +432,15 @@ def plan_frames_indep(
     )
 
 
+def _slice_pre(lpc_pre, sl):
+    """Slice each (order, qc, shift, ok) entry's plane axis (axis 1)."""
+    if lpc_pre is None:
+        return None
+    return [(o, q[:, sl], s[:, sl], k[:, sl]) for o, q, s, k in lpc_pre]
+
+
 def plan_frames_stereo(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig
+    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None
 ) -> FrameWirePlan:
     """stereo_auto: build L/R/M/S planes, analyze all four, pick the mode
     with the first-min of {L+R, L+S, S+R, M+S}, and emit the two wire
@@ -438,8 +456,12 @@ def plan_frames_stereo(
 
     if depth == 32:
         lrm = jnp.stack([left, right, mid], axis=1)  # [n, 3, B] i32
-        a3 = analyze_planes(lrm, 32, depth, B, config)
-        a_s = analyze_planes(side64, 64, depth, B, config)
+        a3 = analyze_planes(
+            lrm, 32, depth, B, config, lpc_pre=_slice_pre(lpc_pre, slice(0, 3))
+        )
+        a_s = analyze_planes(
+            side64, 64, depth, B, config, lpc_pre=_slice_pre(lpc_pre, 3)
+        )
         est = jnp.concatenate([a3.est_bits, a_s.est_bits[:, None]], axis=1)
         kind = jnp.concatenate([a3.kind, a_s.kind[:, None]], axis=1)
         order = jnp.concatenate([a3.order, a_s.order[:, None]], axis=1)
@@ -461,7 +483,7 @@ def plan_frames_stereo(
     else:
         side = side64.astype(jnp.int32)
         lrms = jnp.stack([left, right, mid, side], axis=1)  # [n, 4, B]
-        a = analyze_planes(lrms, 32, depth, B, config)
+        a = analyze_planes(lrms, 32, depth, B, config, lpc_pre=lpc_pre)
         est, kind, order, method = a.est_bits, a.kind, a.order, a.method
         part_order, params, residuals = a.part_order, a.params, a.residuals
         qcoeffs, qshift = a.qcoeffs, a.qshift
@@ -514,8 +536,33 @@ def plan_frames_stereo(
 
 
 def plan_frames(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig
+    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None
 ) -> FrameWirePlan:
     if config.stereo_auto:
-        return plan_frames_stereo(frames, depth, config)
-    return plan_frames_indep(frames, depth, config)
+        return plan_frames_stereo(frames, depth, config, lpc_pre=lpc_pre)
+    return plan_frames_indep(frames, depth, config, lpc_pre=lpc_pre)
+
+
+def plan_lag_sums(
+    frames: jnp.ndarray, depth: int, config: EncoderConfig
+) -> jnp.ndarray:
+    """LPC phase-1 device program: candidate planes (same construction and
+    wasted-bit shave as plan_frames_*) -> exact integer autocorrelation limb
+    sums i64 [n, P, max_order+1, 3]. P = 4 stereo candidates (L, R, M, S) or
+    the channel count. The host turns these into quantized coefficients
+    (ops/lpc.py coeffs_from_lags) and feeds them back into the main encode
+    program as the ``lpc_pre`` inputs."""
+    from .lpc import lag_sums
+
+    n, c, B = frames.shape
+    if config.stereo_auto:
+        assert c == 2
+        l64 = frames[:, 0].astype(jnp.int64)
+        r64 = frames[:, 1].astype(jnp.int64)
+        mid = (l64 + r64) >> 1
+        side = l64 - r64
+        planes = jnp.stack([l64, r64, mid, side], axis=1)  # [n, 4, B]
+    else:
+        planes = frames.astype(jnp.int64)
+    planes, _w = _apply_wasted(planes, depth, config)
+    return lag_sums(planes, config.lpc_order)

@@ -49,6 +49,12 @@ class SideDeposits(NamedTuple):
     nbv: jnp.ndarray   # i32 [N, P]
 
 
+# Compacted frames start on ALIGN_W-word (32-byte) boundaries: the stream
+# compaction gather then moves whole 8-word rows instead of single words
+# (8x fewer serialized gather rows on TPU), at <=31 pad bytes per frame.
+ALIGN_W = 8
+
+
 def _u64(x) -> jnp.ndarray:
     return x.astype(jnp.uint64)
 
@@ -374,37 +380,48 @@ def deposit_crc16(
 def compact_stream_aligned(
     words: jnp.ndarray, frame_bytes: jnp.ndarray, capw: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Word-aligned compaction: concatenate each frame's used words (its
-    bytes rounded up to whole u32 words) into one dense u32 buffer.
+    """Group-aligned compaction: concatenate each frame's used words (its
+    bytes rounded up to ``ALIGN_W``-word groups) into one dense u32 buffer.
 
-    Keeping frames word-aligned makes this a single flat gather — the host
-    then drops the <=3 pad bytes per frame during its memcpy assembly. Output
-    word q belongs to frame f(q) = #frame-starts <= q (boundary scatter +
-    cumsum); its in-frame word index comes from a second delta-scatter —
-    no per-element table lookups anywhere.
+    Frames start on ALIGN_W-word (32-byte) boundaries, so the move is a
+    single flat gather of whole groups — 8x fewer serialized gather rows
+    than per-word, each moving a contiguous 32-byte row. The host drops the
+    <=31 pad bytes per frame during its memcpy assembly. Output group g
+    belongs to frame f(g) = #frame-starts <= g (boundary scatter + cumsum);
+    its in-frame group index comes from a second delta-scatter — no
+    per-element table lookups anywhere.
 
-    Returns (stream u32 [capw] MSB-first, total_words i32). Caller checks
-    total_words <= capw.
+    Returns (stream u32 [~capw] MSB-first, total_words i32). Caller checks
+    total_words <= the returned stream size. ``words`` width and the group
+    offsets the host computes must both use ALIGN_W (max_frame_words rounds
+    the width; models/pipeline._collect_aligned mirrors the offsets).
     """
     n, W = words.shape
-    wcnt = (frame_bytes + 3) >> 2  # words per frame
-    woff = jnp.cumsum(wcnt) - wcnt
-    total = woff[-1] + wcnt[-1]
+    assert W % ALIGN_W == 0, "frame word capacity must be ALIGN_W-aligned"
+    Wg = W // ALIGN_W
+    capg = -(-capw // ALIGN_W)
+    gcnt = (frame_bytes + 4 * ALIGN_W - 1) // (4 * ALIGN_W)  # groups/frame
+    goff = jnp.cumsum(gcnt) - gcnt
+    total_g = goff[-1] + gcnt[-1]
 
-    marks = jnp.zeros((capw,), jnp.int32)
-    starts = woff[1:]
+    marks = jnp.zeros((capg,), jnp.int32)
+    starts = goff[1:]
     marks = marks.at[starts].add(1, mode="drop")
-    f = jnp.cumsum(marks)  # frame index per output word
-    off = jnp.zeros((capw,), jnp.int32)
-    woff_delta = woff - jnp.pad(woff, (1, 0))[:n]
-    off = off.at[jnp.where(jnp.arange(n) == 0, 0, woff)].add(woff_delta, mode="drop")
-    boff_q = jnp.cumsum(off)  # woff[f] per output word
-    q = jnp.arange(capw, dtype=jnp.int32)
-    j = q - boff_q
-    flat = words.reshape(-1)
-    out = flat[(f * W + j).astype(jnp.int32)]
-    out = jnp.where(q < total, out, 0)
-    return out.astype(jnp.uint32), total.astype(jnp.int32)
+    f = jnp.cumsum(marks)  # frame index per output group
+    off = jnp.zeros((capg,), jnp.int32)
+    goff_delta = goff - jnp.pad(goff, (1, 0))[:n]
+    off = off.at[jnp.where(jnp.arange(n) == 0, 0, goff)].add(
+        goff_delta, mode="drop"
+    )
+    boff_g = jnp.cumsum(off)  # goff[f] per output group
+    g = jnp.arange(capg, dtype=jnp.int32)
+    j = g - boff_g
+    rows = words.reshape(n * Wg, ALIGN_W)
+    out = rows[(f * Wg + j).astype(jnp.int32)]  # [capg, ALIGN_W]
+    out = jnp.where((g < total_g)[:, None], out, 0)
+    return out.reshape(-1).astype(jnp.uint32), (total_g * ALIGN_W).astype(
+        jnp.int32
+    )
 
 
 def header_symbols(
@@ -544,11 +561,12 @@ def max_frame_words(
             + n_wire * per_ch_overhead
             + 64
         )
-        return (total_bits + 31) // 32
+        return -(-((total_bits + 31) // 32) // ALIGN_W) * ALIGN_W
     bits_of_t = 64 if depth == 32 else 32
     per_ch = (
         8 + 32 * 34 + 9 + 32 * 15 + 6 + 256 * 10
         + block_size * (bits_of_t + 6)
     )
     total_bits = MAX_HEADER_BYTES * 8 + n_wire * per_ch + 64
-    return (total_bits + 31) // 32
+    # rounded to the compaction alignment so per-frame rows regroup exactly
+    return -(-((total_bits + 31) // 32) // ALIGN_W) * ALIGN_W

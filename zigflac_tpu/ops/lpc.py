@@ -5,28 +5,42 @@ type (libFLAC/Encoder.zig:498-503, readme.md:24-27); BASELINE.json config 3
 requires it: windowed autocorrelation + Levinson-Durbin + quantized
 coefficients with error feedback + shifted integer prediction.
 
-This module is used by BOTH the golden host path (via numpy-compatible jnp
-code executed on CPU) and the device pipeline, so the two stay bit-identical
-by construction: quantization runs in float64 (deterministic, platform
-independent for these magnitudes) and the residual math in int64.
+Determinism architecture (golden == device == any platform, by construction):
+
+* The autocorrelation — the only heavy float reduction — is EXACT integer
+  arithmetic: samples are windowed by a Q15 fixed-point Tukey(0.5) window
+  and each lag sum is carried as three int64 limb partial sums (hi·hi,
+  hi·lo+lo·hi, lo·lo over 24-bit limbs). Integer ops are bit-identical on
+  every backend, so the device computes lag sums on TPU and the golden
+  oracle computes the same integers in numpy.
+* Everything float — combining limbs into f64 lags, Levinson-Durbin, and
+  coefficient quantization — is ONE host numpy implementation shared by both
+  paths (`coeffs_from_lags`). Each step is a fixed IEEE-754 expression over
+  identical inputs, deterministic across hosts. TPU-emulated f64 (not
+  correctly rounded) never touches coefficients.
+* Residual computation from quantized coefficients is integer (jnp on
+  device, numpy in golden — exact either way).
 
 Encoding behavior (ours to define — there is no reference bitstream to
-match): analyze at the configured max order, Tukey(0.5) window, precision
-``config.lpc_precision`` bits, pick LPC over fixed/verbatim/constant by the
-same header-less estimated-bits comparison the reference uses between
-fixed and verbatim.
+match): analyze at the candidate orders below, Q15 Tukey(0.5) window,
+precision ``config.lpc_precision`` bits, pick LPC over fixed/verbatim/
+constant by the same header-less estimated-bits comparison the reference
+uses between fixed and verbatim.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import NamedTuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 MAX_LPC_ORDER = 32
+
+_LIMB = 24  # limb width: |windowed sample| <= 2^47 -> hi <= 2^23; products
+#             <= 2^48, summed over <= 2^15 samples -> < 2^63 (no overflow)
 
 
 @lru_cache(maxsize=32)
@@ -44,79 +58,119 @@ def tukey_window(n: int, alpha: float = 0.5) -> np.ndarray:
     return w
 
 
-def autocorrelation(planes: jnp.ndarray, order: int) -> jnp.ndarray:
-    """Windowed autocorrelation lags 0..order, float64: [..., order+1]."""
+@lru_cache(maxsize=32)
+def tukey_q15(n: int) -> np.ndarray:
+    """The window the format actually uses: Q15 fixed point, int64."""
+    return np.round(tukey_window(n) * 32768.0).astype(np.int64)
+
+
+def lag_sums(planes: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Exact integer windowed autocorrelation limb sums on device.
+
+    ``planes`` int [..., B] -> int64 [..., order+1, 3] where lag k's exact
+    value is ``hh·2^48 + hl·2^24 + ll`` (a ~96-bit integer carried as three
+    int64 partials). Bit-identical to ``lag_sums_np`` on any backend.
+    """
     B = planes.shape[-1]
-    w = jnp.asarray(tukey_window(B))
-    x = planes.astype(jnp.float64) * w
-    lags = []
+    wq = jnp.asarray(tukey_q15(B))
+    x = planes.astype(jnp.int64) * wq
+    hi = x >> _LIMB
+    lo = x & ((1 << _LIMB) - 1)
+    out = []
     for k in range(order + 1):
-        if k == 0:
-            lags.append((x * x).sum(axis=-1))
-        else:
-            lags.append((x[..., k:] * x[..., :-k]).sum(axis=-1))
-    return jnp.stack(lags, axis=-1)
+        ah = hi[..., k:] if k else hi
+        al = lo[..., k:] if k else lo
+        bh = hi[..., : B - k] if k else hi
+        bl = lo[..., : B - k] if k else lo
+        hh = (ah * bh).sum(axis=-1)
+        hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
+        ll = (al * bl).sum(axis=-1)
+        out.append(jnp.stack([hh, hl, ll], axis=-1))
+    return jnp.stack(out, axis=-2)
 
 
-def levinson_durbin(autoc: jnp.ndarray, order: int, capture=()):
-    """LPC coefficients via Levinson-Durbin, float64.
+def lag_sums_np(planes: np.ndarray, order: int) -> np.ndarray:
+    """numpy mirror of ``lag_sums`` (golden path) — same exact integers."""
+    B = planes.shape[-1]
+    x = planes.astype(np.int64) * tukey_q15(B)
+    hi = x >> _LIMB
+    lo = x & ((1 << _LIMB) - 1)
+    out = []
+    for k in range(order + 1):
+        ah, al = (hi[..., k:], lo[..., k:]) if k else (hi, lo)
+        bh, bl = (hi[..., : B - k], lo[..., : B - k]) if k else (hi, lo)
+        hh = (ah * bh).sum(axis=-1)
+        hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
+        ll = (al * bl).sum(axis=-1)
+        out.append(np.stack([hh, hl, ll], axis=-1))
+    return np.stack(out, axis=-2)
 
-    Returns (coeffs [..., order], pred_err [...], captured): ``coeffs[j]``
-    multiplies s[i-1-j] in the predictor; ``captured`` maps each order in
-    ``capture`` to its intermediate coefficient array (the recursion yields
-    every lower order for free)."""
-    batch = autoc.shape[:-1]
-    eps = jnp.float64(1e-9)
-    err = autoc[..., 0] + eps
-    coeffs = jnp.zeros(batch + (order,), jnp.float64)
-    captured = {}
-    for i in range(order):
-        acc = autoc[..., i + 1]
+
+def coeffs_from_lags(
+    lags: np.ndarray, orders: Tuple[int, ...], precision: int
+) -> List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]]:
+    """Limb lag sums -> quantized coefficients, on host, deterministically.
+
+    ``lags`` int64 [..., max_order+1, 3] -> list of
+    ``(order, qcoeffs i32 [..., 32] zero-padded, shift i32 [...], ok bool)``
+    per candidate order (one Levinson recursion captures all of them).
+    """
+    r = (
+        lags[..., 0].astype(np.float64) * float(1 << (2 * _LIMB))
+        + lags[..., 1].astype(np.float64) * float(1 << _LIMB)
+        + lags[..., 2].astype(np.float64)
+    )
+    max_order = max(orders)
+    batch = r.shape[:-1]
+    eps = 1e-9
+    err = r[..., 0] + eps
+    coeffs = np.zeros(batch + (max_order,), np.float64)
+    out = []
+    for i in range(max_order):
+        acc = r[..., i + 1].copy()
         for j in range(i):
-            acc = acc - coeffs[..., j] * autoc[..., i - j]
+            acc -= coeffs[..., j] * r[..., i - j]
         k = acc / err
-        # update: new[i] = k; new[j] = old[j] - k * old[i-1-j]
-        new = coeffs
+        new = coeffs.copy()
         for j in range(i):
-            new = new.at[..., j].set(coeffs[..., j] - k * coeffs[..., i - 1 - j])
-        new = new.at[..., i].set(k)
+            new[..., j] = coeffs[..., j] - k * coeffs[..., i - 1 - j]
+        new[..., i] = k
         coeffs = new
         err = err * (1.0 - k * k)
-        err = jnp.maximum(err, eps)
-        if (i + 1) in capture:
-            captured[i + 1] = coeffs[..., : i + 1]
-    return coeffs, err, captured
+        err = np.maximum(err, eps)
+        if (i + 1) in orders:
+            qc, shift, ok = _quantize_np(coeffs[..., : i + 1], precision)
+            qc32 = np.zeros(batch + (32,), np.int32)
+            qc32[..., : i + 1] = qc
+            out.append((i + 1, qc32, shift, ok))
+    return out
 
 
-class QuantizedLpc(NamedTuple):
-    qcoeffs: jnp.ndarray  # i32 [..., order]
-    shift: jnp.ndarray    # i32 [...], in [0, 15]
-    ok: jnp.ndarray       # bool [...]: quantization usable
-
-
-def quantize_coeffs(coeffs: jnp.ndarray, precision: int) -> QuantizedLpc:
+def _quantize_np(coeffs: np.ndarray, precision: int):
     """Quantize float coefficients to ``precision`` signed bits with error
     feedback (the standard FLAC scheme): shift = precision-1 - ilog2(cmax)-1,
     clamped to [0, 15]; q_j = clamp(round(c_j * 2^shift + err))."""
     order = coeffs.shape[-1]
-    cmax = jnp.abs(coeffs).max(axis=-1)
-    cmax = jnp.maximum(cmax, jnp.float64(1e-9))
-    log2_cmax = jnp.floor(jnp.log2(cmax)).astype(jnp.int32)
-    shift = (precision - 1) - (log2_cmax + 1)
-    shift = jnp.clip(shift, 0, 15)
+    cmax = np.maximum(np.abs(coeffs).max(axis=-1), 1e-9)
+    with np.errstate(invalid="ignore"):
+        log2_cmax = np.floor(np.log2(cmax))
+    log2_cmax = np.where(np.isfinite(log2_cmax), log2_cmax, 30).astype(np.int32)
+    shift = np.clip((precision - 1) - (log2_cmax + 1), 0, 15).astype(np.int32)
     qmax = (1 << (precision - 1)) - 1
     qmin = -(1 << (precision - 1))
-    scale = jnp.exp2(shift.astype(jnp.float64))
-    err = jnp.zeros(coeffs.shape[:-1], jnp.float64)
+    scale = np.exp2(shift.astype(np.float64))
+    err = np.zeros(coeffs.shape[:-1], np.float64)
     qs = []
-    for j in range(order):
-        target = coeffs[..., j] * scale + err
-        q = jnp.clip(jnp.round(target), qmin, qmax)
-        err = target - q
-        qs.append(q.astype(jnp.int32))
-    qcoeffs = jnp.stack(qs, axis=-1)
-    ok = jnp.isfinite(cmax) & (cmax < jnp.float64(1 << 20))
-    return QuantizedLpc(qcoeffs=qcoeffs, shift=shift, ok=ok)
+    with np.errstate(invalid="ignore"):
+        for j in range(order):
+            target = coeffs[..., j] * scale + err
+            target = np.where(np.isfinite(target), target, 0.0)
+            q = np.clip(np.round(target), qmin, qmax)
+            err = target - q
+            qs.append(q.astype(np.int32))
+    qcoeffs = np.stack(qs, axis=-1)
+    ok = np.isfinite(cmax) & (cmax < float(1 << 20))
+    return qcoeffs, shift, ok
 
 
 def lpc_residuals(
@@ -139,14 +193,23 @@ def lpc_residuals(
     return res.astype(jnp.int32), fits
 
 
-def analyze_lpc(planes: jnp.ndarray, order: int, precision: int):
-    """Full LPC analysis at one order. Returns
-    (residuals i32 [..., B], qcoeffs i32 [..., order], shift i32, ok bool)."""
-    autoc = autocorrelation(planes, order)
-    coeffs, _err, _ = levinson_durbin(autoc, order)
-    q = quantize_coeffs(coeffs, precision)
-    res, fits = lpc_residuals(planes, q.qcoeffs, q.shift, order)
-    return res, q.qcoeffs, q.shift, q.ok & fits
+def lpc_residuals_np(
+    planes: np.ndarray, qcoeffs: np.ndarray, shift: np.ndarray, order: int
+):
+    """numpy mirror of ``lpc_residuals`` (golden path) — exact integers."""
+    B = planes.shape[-1]
+    s = planes.astype(np.int64)
+    pred = np.zeros_like(s)
+    for j in range(order):
+        sh = np.zeros_like(s)
+        sh[..., j + 1 :] = s[..., : B - j - 1]
+        pred += qcoeffs[..., j : j + 1].astype(np.int64) * sh
+    pred >>= shift[..., None].astype(np.int64)
+    res = s - pred
+    res[..., :order] = 0
+    i32max = (1 << 31) - 1
+    fits = ((res <= i32max) & (res >= -i32max - 1)).all(axis=-1)
+    return res.astype(np.int32), fits
 
 
 def lpc_candidate_orders(lpc_order: int):
@@ -162,16 +225,14 @@ def lpc_candidate_orders(lpc_order: int):
     return tuple(sorted(cands))
 
 
-def analyze_lpc_multi(planes: jnp.ndarray, lpc_order: int, precision: int):
-    """LPC analysis at every candidate order (one autocorrelation + one
-    Levinson recursion). Returns a list of
-    (order, residuals i32 [..., B], qcoeffs, shift, ok) in candidate order."""
+def analyze_lpc_multi_np(planes: np.ndarray, lpc_order: int, precision: int):
+    """Full host LPC analysis (golden path): numpy lag sums + the shared
+    host coefficient derivation + numpy residuals. Returns a list of
+    (order, residuals i32 [..., B], qcoeffs i32 [..., 32], shift, ok)."""
     orders = lpc_candidate_orders(lpc_order)
-    autoc = autocorrelation(planes, lpc_order)
-    _, _err, captured = levinson_durbin(autoc, lpc_order, capture=set(orders))
+    lags = lag_sums_np(planes, lpc_order)
     out = []
-    for o in orders:
-        q = quantize_coeffs(captured[o], precision)
-        res, fits = lpc_residuals(planes, q.qcoeffs, q.shift, o)
-        out.append((o, res, q.qcoeffs, q.shift, q.ok & fits))
+    for o, qc, shift, ok in coeffs_from_lags(lags, orders, precision):
+        res, fits = lpc_residuals_np(planes, qc, shift, o)
+        out.append((o, res, qc, shift, ok & fits))
     return out

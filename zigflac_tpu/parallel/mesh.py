@@ -84,18 +84,19 @@ def _sharded_fn(config: EncoderConfig, depth: int, c: int, block_size: int,
 _MESHES = {}
 
 
-def _encode_shard_compact(frames, frame_numbers, *, config, depth, hstatic,
-                          block_size, max_words, capb, deposit):
+def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
+                          hstatic, block_size, max_words, capb, deposit):
     """Per-shard production compact-stream encode: each chip packs and
     byte-compacts its local frames; the host assembles shard streams in
     frame order (frames are independent, so no collective is needed —
-    STREAMINFO min/max comes from the fetched per-frame sizes)."""
+    STREAMINFO min/max comes from the fetched per-frame sizes). ``lpc_args``
+    is () or the (qc, shift, ok) coefficient inputs, sharded on frames."""
     from ..models.pipeline import _encode_batch_compact
 
     stream, meta = _encode_batch_compact(
-        frames, frame_numbers, config=config, depth=depth, hstatic=hstatic,
-        block_size=block_size, max_words=max_words, capb=capb,
-        deposit=deposit,
+        frames, frame_numbers, *lpc_args, config=config, depth=depth,
+        hstatic=hstatic, block_size=block_size, max_words=max_words,
+        capb=capb, deposit=deposit,
     )
     return stream[None], meta[None]
 
@@ -103,7 +104,8 @@ def _encode_shard_compact(frames, frame_numbers, *, config, depth, hstatic,
 @lru_cache(maxsize=32)
 def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
                         block_size: int, sample_rate: int, tier: int,
-                        batch_local: int, deposit: str, mesh_key):
+                        batch_local: int, deposit: str, n_lpc_args: int,
+                        mesh_key):
     """The sharded twin of pipeline._compiled_encode_compact: one SPMD
     program over the mesh, each shard running the tier's compact program on
     ``batch_local`` frames. Returns (fn, per-frame word cap in bytes)."""
@@ -129,7 +131,7 @@ def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+        in_specs=(P(FRAME_AXIS),) * (2 + n_lpc_args),
         out_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
     )
     return jax.jit(mapped), max_words * 4
@@ -144,12 +146,14 @@ def encode_compact_sharded(
     tier: int,
     deposit: str,
     mesh: Mesh,
+    lpc_pre=(),
 ):
     """Production sharded encode: [N, C, B] frames (N divisible by mesh
     size) -> (stream u32 [ndev, capw_local], meta i64 [ndev, local+2]).
     Row s of each output is shard s's compact stream / metadata vector, in
     frame order — the host collects each row exactly like a single-device
-    batch."""
+    batch. ``lpc_pre`` is () or the (qc, shift, ok) host-derived coefficient
+    arrays, frame-major (sharded like frames)."""
     mesh_key = tuple(d.id for d in mesh.devices.flat)
     _MESHES[mesh_key] = mesh
     n, c, B = frames.shape
@@ -157,9 +161,10 @@ def encode_compact_sharded(
     if n % ndev != 0:
         raise ValueError(f"frame count {n} not divisible by mesh size {ndev}")
     fn, frame_cap = _sharded_compact_fn(
-        config, depth, c, B, sample_rate, tier, n // ndev, deposit, mesh_key
+        config, depth, c, B, sample_rate, tier, n // ndev, deposit,
+        len(lpc_pre), mesh_key
     )
-    stream, meta = fn(frames, frame_numbers)
+    stream, meta = fn(frames, frame_numbers, *lpc_pre)
     return stream, meta, frame_cap
 
 
