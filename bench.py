@@ -83,10 +83,18 @@ def main() -> None:
     )
     out = fn(batch, fns)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = fn(batch, fns)
-    jax.block_until_ready(out)
-    dev_s = time.perf_counter() - t0
+    np_.asarray(out[1])
+    # amortize over N executions with one closing d2h fetch: a single
+    # block_until_ready round trip carries ~30-50 ms of relay latency,
+    # which would swamp the per-batch program time
+    N = 10
+    dev_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _i in range(N):
+            out = fn(batch, fns)
+        np_.asarray(out[1])
+        dev_s = min(dev_s, (time.perf_counter() - t0) / N)
     device_x = batch.shape[0] * 4096 / 44100 / dev_s
 
     pcm_bytes = seconds * 44100 * 2 * 2

@@ -87,3 +87,34 @@ def test_batch_verify_corrupt_stream(rng):
 def test_batch_verify_truncated(rng):
     flac = _flac(rng, 256 * 3)
     assert not verify_flac(flac[: len(flac) - 40])
+
+
+def test_decode_range_with_seektable(rng):
+    from zigflac_tpu.decoder import decode_range
+
+    block = 256
+    sig = make_signal(rng, block * 9 + 77, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, sig, 44100, 16)
+    cfg = EncoderConfig(block_size=block, channels="stereo_auto")
+    flac = encode_wav_bytes(
+        buf.getvalue(), config=cfg, backend="golden",
+        seek_interval=block * 2,
+    )
+    full = decode_flac(flac).samples
+    for start, n in [(0, 100), (block * 3 + 5, 300), (block * 8, block + 77),
+                     (block * 9, 77)]:
+        got = decode_range(flac, start, n)
+        np.testing.assert_array_equal(got, full[:, start : start + n])
+    # no seektable: still exact, just slower
+    flac2 = encode_wav_bytes(buf.getvalue(), config=cfg, backend="golden")
+    got = decode_range(flac2, block * 4 + 1, 99)
+    np.testing.assert_array_equal(
+        got, full[:, block * 4 + 1 : block * 4 + 100]
+    )
+    import pytest as _pytest
+
+    from zigflac_tpu.decoder import FlacDecodeError
+
+    with _pytest.raises(FlacDecodeError):
+        decode_range(flac, block * 9, 100)  # past the end

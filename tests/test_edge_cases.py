@@ -54,7 +54,7 @@ def _golden_channel_bytes(kind, order, method, part_order, ss, params,
 
 def _device_channel_bytes(kind, order, method, part_order, ss, params,
                           plane, residuals, B):
-    nb_full, front_cnt, dep_val, dep_nbv, side = channel_symbols(
+    nb_full, dep_val, dep_nbv = channel_symbols(
         jnp.asarray([kind], jnp.int32),
         jnp.asarray([order], jnp.int32),
         jnp.asarray([method], jnp.int32),
@@ -84,19 +84,14 @@ def _device_channel_bytes(kind, order, method, part_order, ss, params,
         chunk |= (int(v) & ((1 << int(vb)) - 1)) << (span - (end - byte0 * 8))
         buf[byte0:byte1] = chunk.to_bytes(byte1 - byte0, "big")
 
-    dep_cum = np.concatenate([cum[:front_cnt], cum[front_cnt + 1 :: 2][:B]])
+    # the unified stream: every column deposits at its prefix-sum offset
+    # (partition params live on their grid columns inside the stream)
     for e, v, vb in zip(
-        dep_cum.tolist(),
+        cum.tolist(),
         np.asarray(dep_val)[0].tolist(),
         np.asarray(dep_nbv)[0].tolist(),
     ):
         deposit(e, v, vb)
-    for slot, v, vb in zip(
-        np.asarray(side.slot)[0].tolist(),
-        np.asarray(side.val)[0].tolist(),
-        np.asarray(side.nbv)[0].tolist(),
-    ):
-        deposit(cum[slot], v, vb)
     return bytes(buf), total_bits
 
 

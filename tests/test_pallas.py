@@ -122,7 +122,7 @@ def test_pack_frames_binned_matches_segsum(rng):
     from zigflac_tpu.ops.header import header_static
     from zigflac_tpu.utils.config import EncoderConfig
 
-    B, n = 512, 4
+    B, n = 512, 6
     cfg = EncoderConfig(block_size=B)
     t = np.arange(n * B)
     x = np.clip(
@@ -130,6 +130,11 @@ def test_pack_frames_binned_matches_segsum(rng):
         + rng.normal(0, 50, t.size),
         -32768, 32767,
     ).astype(np.int32)
+    # mix in frames that force escapes / verbatim / all-zero partitions so
+    # the merged-param deposits (binned) cover every partition shape
+    x[0:B] = 0                                       # constant/silence
+    x[B : 2 * B] = rng.integers(-32768, 32768, B)    # noise -> escapes
+    x[2 * B : 2 * B + 200] = 0                       # zero partitions
     frames = np.stack(
         [x.reshape(n, B), (x // 3).reshape(n, B)], axis=1
     )

@@ -54,7 +54,7 @@ from .models.encoder import (  # noqa: E402
     encode_file_streaming,
     encode_to_file,
 )
-from .decoder import decode_flac, verify_flac  # noqa: E402
+from .decoder import decode_flac, decode_range, verify_flac  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -72,6 +72,7 @@ __all__ = [
     "encode_file_streaming",
     "encode_to_file",
     "decode_flac",
+    "decode_range",
     "verify_flac",
     "__version__",
 ]

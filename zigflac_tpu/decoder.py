@@ -429,6 +429,49 @@ def _verify_md5(samples: np.ndarray, info: StreamInfo) -> bool:
     return hashlib.md5(raw).digest() == info.md5
 
 
+def decode_range(
+    data: bytes, start_sample: int, n_samples: int, check_crc: bool = True
+) -> np.ndarray:
+    """Random-access decode: ``[channels, n_samples]`` starting at
+    ``start_sample``, using the SEEKTABLE (when present) to skip ahead —
+    only the frames covering the range are parsed and synthesized.
+
+    Seek points map sample numbers to byte offsets from the first frame
+    (metadata.build_seekpoints); without a SEEKTABLE decoding starts at the
+    first frame. Frames before the target that the nearest seek point cannot
+    skip are decoded and discarded (FLAC frames are independent, so this is
+    exact)."""
+    info, _vendor, _tags, seektable, pos = _parse_metadata(data)
+    if start_sample < 0 or start_sample + n_samples > info.interchannel_samples:
+        raise FlacDecodeError("requested range outside the stream")
+    first_frame_pos = pos
+    cur_sample = 0
+    best = None
+    for sample, offset, _ns in seektable or []:
+        if sample <= start_sample and (best is None or sample > best[0]):
+            best = (sample, offset)
+    if best is not None:
+        cur_sample = best[0]
+        pos = first_frame_pos + best[1]
+
+    out: List[np.ndarray] = []
+    got = 0
+    while got < n_samples and pos < len(data):
+        samples, _fn, pos = decode_frame(data, pos, info, check_crc)
+        bs = samples.shape[1]
+        if cur_sample + bs <= start_sample:
+            cur_sample += bs
+            continue
+        lo = max(0, start_sample + got - cur_sample)
+        hi = min(bs, start_sample + n_samples - cur_sample)
+        out.append(samples[:, lo:hi])
+        got += hi - lo
+        cur_sample += bs
+    if got != n_samples:
+        raise FlacDecodeError("stream ended inside the requested range")
+    return np.concatenate(out, axis=1)
+
+
 def verify_flac(data: bytes) -> bool:
     """Decode + verify CRCs and MD5; True iff everything checks out.
 

@@ -37,18 +37,6 @@ class SymbolBlock(NamedTuple):
     nbv: jnp.ndarray  # i32 [N, S] deposited bits
 
 
-class SideDeposits(NamedTuple):
-    """Deposits carried outside the main symbol array (the per-partition
-    Rice params): their field widths still live in the main ``nb`` array at
-    ``slot`` (so offsets come from the one global prefix-sum), but their
-    values scatter through this compact stream — scatter cost on TPU is per
-    element, and only ~256 of the 2B interleaved slots are ever active."""
-
-    slot: jnp.ndarray  # i32 [N, P] index into the main symbol array
-    val: jnp.ndarray   # [N, P]
-    nbv: jnp.ndarray   # i32 [N, P]
-
-
 # Compacted frames start on ALIGN_W-word (32-byte) boundaries: the stream
 # compaction gather then moves whole 8-word rows instead of single words
 # (8x fewer serialized gather rows on TPU), at <=31 pad bytes per frame.
@@ -112,9 +100,12 @@ def channel_symbols(
     wasted: jnp.ndarray | None = None,  # i32 [N] shaved bits (extension)
 ):
     """Symbols of one subframe: header byte, (wasted-bits unary), warmup,
-    (LPC precision/shift/coeffs), method/part-order, interleaved partition
-    params + residual codes (reference serializers: FrameWriter.zig:251-361;
-    LPC layout per the FLAC spec — the reference stubs it)."""
+    (LPC precision/shift/coeffs), method/part-order, then per grid group one
+    partition-param column + its residual codes (reference serializers:
+    FrameWriter.zig:251-361; LPC layout per the FLAC spec — the reference
+    stubs it). Returns (widths [N, S], deposit values, deposit value bits) —
+    every column deposits; offsets come from one prefix sum over the widths.
+    """
     n, B = plane.shape
     is_const = kind == 0
     is_verb = kind == 1
@@ -244,28 +235,7 @@ def channel_symbols(
 
     ind = jnp.zeros((n * B,), jnp.int32)
     ind = ind.at[flat_pos.reshape(-1)].add(jnp.where(in_range, 1, 0).reshape(-1))
-    p_slot = is_pred[:, None] & (ind.reshape(n, B) > 0)
-    p_nb = jnp.where(p_slot, jnp.where(r_esc, param_len + 5, param_len), 0)
-    # the param slots keep their widths in the main array (for offsets) but
-    # deposit through the compact side stream (see SideDeposits)
-    p_sym = SymbolBlock(
-        nb=p_nb,
-        val=jnp.zeros((n, B), jnp.uint64),
-        nbv=jnp.zeros((n, B), jnp.int32),
-    )
-    p_active256 = is_pred[:, None] & in_range
-    side_nb256 = jnp.where(
-        p_active256, jnp.where(esc_live256, param_len + 5, param_len), 0
-    )
-    side_val256 = jnp.where(
-        esc_live256,
-        (params_i << 5) | bps,
-        jnp.where(fallback256, 30, params_i),
-    )
-    side_val256 = jnp.where(p_active256, side_val256, 0)
-    # slot index of partition p's param within this block's symbol array
-    # (filled in by the caller with the block's global base)
-    side_slot256 = 2 * jnp.where(in_range, pos, 0)
+    ind = ind.reshape(n, B)
 
     zz = _u64(zigzag_u32(residuals))
     rice_nb = (zz >> _u64(k)).astype(jnp.int64) + _u64(k).astype(jnp.int64) + 1
@@ -287,23 +257,42 @@ def channel_symbols(
     s_nbv = jnp.where(is_verb[:, None], vb_nb, jnp.where(is_const[:, None], ct_nb, fx_nbv))
     s_val = jnp.where(is_verb[:, None], vb_val, jnp.where(is_const[:, None], ct_val, fx_val))
 
-    # width array interleaves [param_i, residual_i] -> [N, 2B] so the one
-    # prefix-sum yields every offset; the DEPOSIT stream carries only the
-    # front symbols + residuals (params deposit via the compact side stream
-    # -- scatter cost is per element, and param slots are ~94% masked)
-    inter_nb = jnp.stack([p_sym.nb, s_nb], axis=2).reshape(n, 2 * B)
+    # -- param grid columns -------------------------------------------------
+    # Every partition start lies on the static grid of multiples of
+    # G = B >> po_top (start_p = p * (B >> po) and B >> po is a multiple of
+    # G for every legal po), so ONE param column per grid point, placed
+    # before its G residual columns, puts each partition's param exactly
+    # where the wire needs it — params are then ordinary monotone entries of
+    # the main deposit stream (~3% more elements), and no separate
+    # scatter-based side stream exists at all.
+    n_grid = 1 << po_top
+    G = B >> po_top
+    p_slot_g = is_pred[:, None] & (ind[:, ::G] > 0)
+    plen_s = jnp.where(r_esc, param_len + 5, param_len)  # [N, B]
+    vparam = jnp.where(
+        r_esc,
+        (_u64(param_i) << jnp.uint64(5)) | _u64(r_bps),
+        _u64(jnp.where(r_fallback, 30, param_i)),
+    )
+    pg_nb = jnp.where(p_slot_g, plen_s[:, ::G], 0)
+    pg_val = jnp.where(p_slot_g, vparam[:, ::G], 0)
+
+    # interleave [param_g | residuals g*G .. (g+1)*G-1] per grid group
+    inter_nb = jnp.concatenate(
+        [pg_nb[:, :, None], s_nb.reshape(n, n_grid, G)], axis=2
+    ).reshape(n, n_grid * (G + 1))
+    inter_val = jnp.concatenate(
+        [pg_val[:, :, None], s_val.reshape(n, n_grid, G)], axis=2
+    ).reshape(n, n_grid * (G + 1))
+    inter_nbv = jnp.concatenate(
+        [pg_nb[:, :, None], s_nbv.reshape(n, n_grid, G)], axis=2
+    ).reshape(n, n_grid * (G + 1))
 
     blocks = [hdr, wb, warm] + lpc_blocks + [meth]
-    front_cnt = 2 + max_warmup + (1 + lpc_order if lpc_order else 0) + 1
-    side = SideDeposits(
-        slot=side_slot256 + front_cnt,
-        val=side_val256,
-        nbv=side_nb256,
-    )
     nb_full = jnp.concatenate([b.nb for b in blocks] + [inter_nb], axis=1)
-    dep_val = jnp.concatenate([b.val for b in blocks] + [s_val], axis=1)
-    dep_nbv = jnp.concatenate([b.nbv for b in blocks] + [s_nbv], axis=1)
-    return nb_full, front_cnt, dep_val, dep_nbv, side
+    dep_val = jnp.concatenate([b.val for b in blocks] + [inter_val], axis=1)
+    dep_nbv = jnp.concatenate([b.nbv for b in blocks] + [inter_nbv], axis=1)
+    return nb_full, dep_val, dep_nbv
 
 
 def _split_hi_lo(d_cum, val, nbv):
@@ -450,23 +439,20 @@ def pack_frames(
 ):
     """Full frames (header + subframes) -> (words u32 [N, W], total_bits).
 
-    One prefix-sum over the full width array yields every bit offset; the
-    deposits then flow through three compact streams: the header+front+
-    residual stream (width-array columns minus the interleaved param slots),
-    and the per-partition param side stream.
+    Every wire field — header bytes, subframe fronts, partition params (on
+    their grid columns), residual codes — is one column of a single width
+    array; one prefix sum yields every bit offset and EVERY column deposits,
+    so there is exactly one deposit stream (monotone word keys) feeding
+    either the Pallas windowed-binning kernel or the exact segment-sum path.
     """
-    B = block_size
     hb, hlen = build_headers(frame_numbers, plan.channels_code, hstatic)
     hdr = header_symbols(hb, hlen)
     nb_parts = [hdr.nb]
     dep_val_parts = [hdr.val]
     dep_nbv_parts = [hdr.nbv]
-    sides = []
-    layouts = []  # (base, front_cnt) per channel block in the width array
-    base = hdr.nb.shape[1]
     n_wire = plan.kind.shape[1]
     for c in range(n_wire):
-        nb_full, front_cnt, dep_val, dep_nbv, side = channel_symbols(
+        nb_full, dep_val, dep_nbv = channel_symbols(
             plan.kind[:, c],
             plan.order[:, c],
             plan.method[:, c],
@@ -486,23 +472,10 @@ def pack_frames(
         nb_parts.append(nb_full)
         dep_val_parts.append(dep_val)
         dep_nbv_parts.append(dep_nbv)
-        sides.append(side._replace(slot=side.slot + base))
-        layouts.append((base, front_cnt))
-        base += nb_full.shape[1]
 
     nb = jnp.concatenate(nb_parts, axis=1)
-    cum = jnp.cumsum(nb, axis=1, dtype=jnp.int32)
-    total_bits = cum[:, -1]
-
-    # deposit-stream offsets: header columns, then per channel the front
-    # columns + the odd (residual) interleave columns — static strided
-    # slices of the prefix-sum, no gathers
-    cum_parts = [cum[:, : MAX_HEADER_BYTES]]
-    for b0, front_cnt in layouts:
-        cum_parts.append(cum[:, b0 : b0 + front_cnt])
-        r0 = b0 + front_cnt + 1
-        cum_parts.append(cum[:, r0 : r0 + 2 * B : 2])
-    dep_cum = jnp.concatenate(cum_parts, axis=1)
+    dep_cum = jnp.cumsum(nb, axis=1, dtype=jnp.int32)
+    total_bits = dep_cum[:, -1]
 
     # deposits are <= 32 bits except the 33-bit side-channel samples of
     # 32-bit-depth stereo; narrow values halve traffic and keep the
@@ -511,20 +484,6 @@ def pack_frames(
     dep_val = jnp.concatenate([v.astype(vdt) for v in dep_val_parts], axis=1)
     dep_nbv = jnp.concatenate(dep_nbv_parts, axis=1)
 
-    side = SideDeposits(
-        slot=jnp.concatenate([s.slot for s in sides], axis=1),
-        val=jnp.concatenate([s.val for s in sides], axis=1),
-        nbv=jnp.concatenate([s.nbv for s in sides], axis=1),
-    )
-    side_cum = jnp.take_along_axis(cum, side.slot.astype(jnp.int64), 1)
-
-    # The param side stream stays on the segment-sum path either way: its
-    # keys are sorted but consecutive partition starts can be a whole
-    # partition's bits apart, so windowed binning cannot bound the span.
-    # It is ~6% of the element count.
-    side_words = deposit_words(
-        side_cum, side.val.astype(jnp.uint32), side.nbv, max_words
-    )
     if deposit == "binned":
         from .pallas_deposit import deposit_words_binned
 
@@ -532,10 +491,10 @@ def pack_frames(
         main_words, overflow = deposit_words_binned(
             w0, hi, lo, max_words, interpret=interpret
         )
-        return main_words + side_words, total_bits, overflow
+        return main_words, total_bits, overflow
 
     words = deposit_words(dep_cum, dep_val, dep_nbv, max_words)
-    return words + side_words, total_bits, jnp.asarray(False)
+    return words, total_bits, jnp.asarray(False)
 
 
 def max_frame_words(

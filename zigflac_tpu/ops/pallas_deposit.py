@@ -39,10 +39,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128    # deposits binned per window update
-WINDOW = 256   # span budget in words; chunk spans <= WINDOW-2 are exact
+import os as _os
+
+# Tunables (env-overridable for hardware sweeps; defaults are the measured
+# v5e optimum). WINDOW trades VPU work per chunk against span-overflow
+# frequency — chunks whose deposits span more words fall back to the exact
+# segment-sum path via the overflow flag.
+CHUNK = int(_os.environ.get("ZF_DEP_CHUNK", "128"))   # deposits per window
+WINDOW = int(_os.environ.get("ZF_DEP_WINDOW", "256"))  # span budget (words)
 _STORE = WINDOW + 128  # store window: aligned base + 0..127 remainder
-GROUP = 64     # frames per kernel invocation (VMEM-sized tile)
+GROUP = int(_os.environ.get("ZF_DEP_GROUP", "64"))    # frames per invocation
+_UNROLL = int(_os.environ.get("ZF_DEP_UNROLL", "1"))  # chunk-loop unroll
 
 
 def _round_up(x: int, m: int) -> int:
@@ -89,7 +96,8 @@ def _deposit_kernel(n_chunks: int, group: int,
             return carry2
 
         jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_chunks), ch_body, jnp.int32(0)
+            jnp.int32(0), jnp.int32(n_chunks), ch_body, jnp.int32(0),
+            unroll=_UNROLL,
         )
         return carry
 
