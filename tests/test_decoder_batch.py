@@ -118,3 +118,38 @@ def test_decode_range_with_seektable(rng):
 
     with _pytest.raises(FlacDecodeError):
         decode_range(flac, block * 9, 100)  # past the end
+
+
+def test_decode_file_streaming(tmp_path, rng):
+    """decode_file: streaming flac2wav, byte-identical WAV to the one-shot
+    path, MD5 verified incrementally; exercises multi-batch + ragged tail."""
+    from zigflac_tpu.decoder import FlacDecodeError, decode_file
+    from zigflac_tpu.utils.config import EncoderConfig
+    from zigflac_tpu.wav import write_wav
+
+    block = 256
+    sig = make_signal(rng, block * 9 + 130, depth=16, kind="mixed")
+    wav_path = tmp_path / "in.wav"
+    write_wav(str(wav_path), sig, 44100, 16)
+    cfg = EncoderConfig(block_size=block, channels="stereo_auto")
+    flac = encode_wav_bytes(wav_path.read_bytes(), config=cfg,
+                            backend="golden")
+    fp = tmp_path / "a.flac"
+    fp.write_bytes(flac)
+
+    for backend in ("device", "host"):
+        out = tmp_path / f"out_{backend}.wav"
+        info = decode_file(str(fp), str(out), backend=backend, verify=True)
+        assert info.interchannel_samples == sig.shape[1]
+        assert out.read_bytes() == wav_path.read_bytes(), backend
+
+    # corrupted MD5 in STREAMINFO -> FlacDecodeError only when verifying
+    bad = bytearray(flac)
+    bad[26] ^= 0xFF  # a byte inside the STREAMINFO MD5 field
+    bp = tmp_path / "bad.flac"
+    bp.write_bytes(bytes(bad))
+    decode_file(str(bp), str(tmp_path / "x.wav"))  # no verify: ok
+    import pytest as _pytest
+
+    with _pytest.raises(FlacDecodeError):
+        decode_file(str(bp), str(tmp_path / "y.wav"), verify=True)

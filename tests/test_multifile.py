@@ -65,3 +65,35 @@ def test_multifile_shared_config_mixed_channels(rng):
     outs = encode_wav_bytes_many(wavs, config=cfg, backend="golden")
     for w, f in zip(wavs, outs):
         assert decode_flac(f).md5_ok
+
+
+def test_cli_batch_mode(tmp_path, rng):
+    """--batch: directory of WAVs -> directory of FLACs, each byte-identical
+    to its single-file encode."""
+    import io
+
+    from conftest import make_signal
+    from zigflac_tpu.cli import main
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+    from zigflac_tpu.utils.config import EncoderConfig
+    from zigflac_tpu.wav import write_wav
+
+    indir = tmp_path / "wavs"
+    outdir = tmp_path / "flacs"
+    indir.mkdir()
+    for i, (n, kind) in enumerate([(700, "sine"), (1030, "mixed"),
+                                   (512, "noise")]):
+        sig = make_signal(rng, n, channels=2, depth=16, kind=kind)
+        write_wav(str(indir / f"f{i}.wav"), sig, 44100, 16)
+    rc = main(["--batch", str(indir), str(outdir), "--block-size", "256",
+               "--verify", "--backend", "golden"])
+    assert rc == 0
+    cfg = EncoderConfig(block_size=256, channels="stereo_auto")
+    for i in range(3):
+        got = (outdir / f"f{i}.flac").read_bytes()
+        expect = encode_wav_bytes(
+            (indir / f"f{i}.wav").read_bytes(), config=cfg, backend="golden"
+        )
+        assert got == expect, f"f{i}"
+    # non-directory input -> exit 1
+    assert main(["--batch", str(indir / "f0.wav"), str(outdir)]) == 1

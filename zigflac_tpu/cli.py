@@ -29,11 +29,24 @@ def build_parser() -> argparse.ArgumentParser:
         prog="wav2flac",
         description="TPU-native FLAC encoder (zigflac_tpu)",
     )
-    p.add_argument("input", help="input WAV file (FLAC with --decode)")
-    p.add_argument("output", help="output FLAC file (WAV with --decode)")
+    p.add_argument(
+        "input",
+        help="input WAV file (FLAC with --decode; a directory of WAVs "
+        "with --batch)",
+    )
+    p.add_argument(
+        "output",
+        help="output FLAC file (WAV with --decode; output directory "
+        "with --batch)",
+    )
     p.add_argument(
         "-d", "--decode", action="store_true",
         help="decode FLAC to WAV instead of encoding (flac2wav)",
+    )
+    p.add_argument(
+        "--batch", action="store_true",
+        help="encode every .wav in the input directory into the output "
+        "directory, frames of all files fused into shared device batches",
     )
     p.add_argument("--block-size", type=int, default=4096)
     p.add_argument(
@@ -79,34 +92,32 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _decode_main(args) -> int:
-    """flac2wav: decode + verify, write PCM WAV (decoder round-trip,
-    BASELINE config 5 — the reference has no decoder at all)."""
-    from .decoder import FlacDecodeError, decode_flac
-    from .wav import write_wav
+    """flac2wav: streaming decode + verify, write PCM WAV (decoder
+    round-trip, BASELINE config 5 — the reference has no decoder at all).
+    Host memory stays O(frame batch) via decoder.decode_file."""
+    from .decoder import FlacDecodeError, decode_file
 
+    t0 = time.perf_counter()
     try:
-        with open(args.input, "rb") as f:
-            data = f.read()
+        info = decode_file(
+            args.input, args.output, check_crc=True, verify=args.verify
+        )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    t0 = time.perf_counter()
-    try:
-        dec = decode_flac(data, check_crc=True)
     except (FlacDecodeError, EOFError, IndexError) as e:
+        if "MD5 mismatch" in str(e):
+            print("verify: FAILED (MD5 mismatch)", file=sys.stderr)
+            return 3
         print(f"error: invalid FLAC stream ({e})", file=sys.stderr)
         return 2
     dt = time.perf_counter() - t0
-    if args.verify and not dec.md5_ok:
-        print("verify: FAILED (MD5 mismatch)", file=sys.stderr)
-        return 3
-    write_wav(args.output, dec.samples, dec.info.sample_rate, dec.info.bit_depth)
     if args.stats:
         import os
 
         realtime = (
-            dec.info.interchannel_samples / dec.info.sample_rate
-            if dec.info.sample_rate
+            info.interchannel_samples / info.sample_rate
+            if info.sample_rate
             else 0
         )
         print(
@@ -116,6 +127,67 @@ def _decode_main(args) -> int:
         )
     if args.verify:
         print("verify: ok")
+    return 0
+
+
+def _batch_main(args, cfg_kwargs) -> int:
+    """Multi-file encode (BASELINE config 4): every .wav under the input
+    directory encodes with frames fused into shared device batches
+    (encode_wav_bytes_many), writing <name>.flac files to the output
+    directory."""
+    import os
+
+    from .models.encoder import encode_wav_bytes_many
+    from .wav import WavFormatError
+
+    if not os.path.isdir(args.input):
+        print(f"error: --batch expects a directory: {args.input}",
+              file=sys.stderr)
+        return 1
+    names = sorted(
+        f for f in os.listdir(args.input) if f.lower().endswith(".wav")
+    )
+    if not names:
+        print(f"error: no .wav files in {args.input}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output, exist_ok=True)
+    blobs = []
+    for f in names:
+        with open(os.path.join(args.input, f), "rb") as fh:
+            blobs.append(fh.read())
+    t0 = time.perf_counter()
+    try:
+        outs = encode_wav_bytes_many(
+            blobs,
+            config=EncoderConfig(channels="stereo_auto", **cfg_kwargs),
+            backend=args.backend,
+        )
+    except WavFormatError as e:
+        print(f"format: flac does not support this wav format ({e})",
+              file=sys.stderr)
+        return 2
+    dt = time.perf_counter() - t0
+    total_in = sum(len(b) for b in blobs)
+    total_out = 0
+    for f, flac in zip(names, outs):
+        out_path = os.path.join(args.output, os.path.splitext(f)[0] + ".flac")
+        with open(out_path, "wb") as fh:
+            fh.write(flac)
+        total_out += len(flac)
+    if args.verify:
+        from .decoder import verify_flac
+
+        bad = [f for f, flac in zip(names, outs) if not verify_flac(flac)]
+        if bad:
+            print(f"verify: FAILED ({', '.join(bad)})", file=sys.stderr)
+            return 3
+        print(f"verify: ok ({len(names)} files)")
+    if args.stats:
+        print(
+            f"encoded {len(names)} files, {total_in/1e6:.2f} MB -> "
+            f"{total_out/1e6:.2f} MB (ratio {total_out/max(total_in,1):.3f}) "
+            f"in {dt*1e3:.1f} ms"
+        )
     return 0
 
 
@@ -136,6 +208,9 @@ def main(argv=None) -> int:
         lpc_order=args.lpc_order,
         wasted_bits=args.wasted_bits,
     )
+
+    if args.batch:
+        return _batch_main(args, cfg_kwargs)
 
     try:
         from .wav import WavStreamReader

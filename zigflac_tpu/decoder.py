@@ -429,6 +429,82 @@ def _verify_md5(samples: np.ndarray, info: StreamInfo) -> bool:
     return hashlib.md5(raw).digest() == info.md5
 
 
+def decode_file(
+    input_path: str,
+    output_path: str,
+    check_crc: bool = True,
+    backend: str = "auto",
+    verify: bool = False,
+) -> StreamInfo:
+    """Streaming flac2wav: decode a FLAC file to a PCM WAV with host memory
+    bounded by one frame batch — the decode-side counterpart of the
+    encoder's streaming feeder. The input maps via mmap (the C++ parser
+    reads straight from the mapping, page cache evictable), the WAV header
+    is written up front from STREAMINFO, and each decoded batch's samples
+    stream out immediately; MD5 accumulates incrementally when ``verify``.
+
+    Returns the STREAMINFO. Raises FlacDecodeError on CRC/MD5/format
+    failure (``verify=True`` adds the MD5 check).
+    """
+    import mmap
+
+    from . import native as _native
+    from .wav import reconstruct_raw_bytes, wav_header_bytes, wav_pcm_bytes
+
+    if backend == "auto":
+        backend = "device" if _native.HAVE_NATIVE and hasattr(
+            _native._n, "parse_frames"
+        ) else "host"
+    with open(input_path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            info, _vendor, _tags, _seek, pos = _parse_metadata(mm)
+            md5 = _native.Md5Stream() if verify else None
+            total = 0
+            with open(output_path, "wb") as out:
+                out.write(
+                    wav_header_bytes(
+                        info.interchannel_samples, info.channels,
+                        info.sample_rate, info.bit_depth,
+                    )
+                )
+                while total < info.interchannel_samples and pos < len(mm):
+                    if backend == "device":
+                        samples, nfr, pos = _decode_batch(
+                            mm, pos, info, check_crc
+                        )
+                        if nfr == 0:
+                            break
+                    else:
+                        samples, _fn, pos = decode_frame(
+                            mm, pos, info, check_crc
+                        )
+                    total += samples.shape[1]
+                    if total > info.interchannel_samples:
+                        # trim padding of the final frame batch
+                        samples = samples[
+                            :, : samples.shape[1]
+                            - (total - info.interchannel_samples)
+                        ]
+                        total = info.interchannel_samples
+                    out.write(wav_pcm_bytes(samples, info.bit_depth))
+                    if md5 is not None and info.bit_depth >= 8:
+                        md5.update(
+                            reconstruct_raw_bytes(samples, info.bit_depth)
+                        )
+            if total != info.interchannel_samples:
+                raise FlacDecodeError(
+                    f"decoded {total} samples, STREAMINFO says "
+                    f"{info.interchannel_samples}"
+                )
+            if md5 is not None and info.md5 != b"\x00" * 16:
+                if info.bit_depth < 8 or md5.digest() != info.md5:
+                    raise FlacDecodeError("MD5 mismatch")
+            return info
+        finally:
+            mm.close()
+
+
 def decode_range(
     data: bytes, start_sample: int, n_samples: int, check_crc: bool = True
 ) -> np.ndarray:

@@ -341,6 +341,48 @@ class _ByteCursor:
         return int.from_bytes(self.take(4), "little")
 
 
+def wav_pcm_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
+    """Planar ``[c, n]`` samples -> the WAV data-chunk byte stream
+    (little-endian interleaved; 8-bit is the unsigned container;
+    sub-byte-aligned depths left-justified). Chunk-composable: the
+    concatenation over sample chunks equals the one-shot serialization."""
+    c, n = samples.shape
+    nb = (bit_depth + 7) // 8
+    interleaved = samples.T.astype(np.int64)  # [n, c]
+    if bit_depth % 8:
+        interleaved = interleaved << (8 * nb - bit_depth)
+    if nb == 1:
+        interleaved = interleaved + 128  # unsigned 8-bit container
+    u = (interleaved & ((1 << (8 * nb)) - 1)).astype(np.uint64)
+    frame_bytes = np.zeros((n, c, 8), dtype=np.uint8)
+    frame_bytes[:] = u[..., None].view(np.uint8).reshape(n, c, 8)
+    return frame_bytes[:, :, :nb].tobytes()
+
+
+def wav_header_bytes(
+    n_samples: int, channels: int, sample_rate: int, bit_depth: int
+) -> bytes:
+    """RIFF/WAVE/fmt/data headers for a PCM stream of known length."""
+    nb = (bit_depth + 7) // 8
+    block_align = channels * nb
+    byte_rate = sample_rate * block_align
+    data_len = n_samples * block_align
+    hdr = io.BytesIO()
+    hdr.write(b"RIFF")
+    hdr.write((36 + data_len).to_bytes(4, "little"))
+    hdr.write(b"WAVEfmt ")
+    hdr.write((16).to_bytes(4, "little"))
+    hdr.write((1).to_bytes(2, "little"))
+    hdr.write(channels.to_bytes(2, "little"))
+    hdr.write(sample_rate.to_bytes(4, "little"))
+    hdr.write(byte_rate.to_bytes(4, "little"))
+    hdr.write(block_align.to_bytes(2, "little"))
+    hdr.write(bit_depth.to_bytes(2, "little"))
+    hdr.write(b"data")
+    hdr.write(data_len.to_bytes(4, "little"))
+    return hdr.getvalue()
+
+
 def write_wav(
     path_or_buf,
     samples: np.ndarray,
@@ -350,33 +392,9 @@ def write_wav(
     """Minimal WAV writer for tests/benchmarks: planar [c, n] int32 in, PCM
     little-endian out. Inverse of planar_samples for 8/16/24/32-bit."""
     c, n = samples.shape
-    nb = (bit_depth + 7) // 8
-    interleaved = samples.T.astype(np.int64)  # [n, c]
-    if bit_depth % 8:
-        # WAV stores sub-byte-aligned depths left-justified in the container
-        interleaved = interleaved << (8 * nb - bit_depth)
-    if nb == 1:
-        interleaved = interleaved + 128  # unsigned 8-bit container
-    u = (interleaved & ((1 << (8 * nb)) - 1)).astype(np.uint64)
-    frame_bytes = np.zeros((n, c, 8), dtype=np.uint8)
-    frame_bytes[:] = u[..., None].view(np.uint8).reshape(n, c, 8)
-    data = frame_bytes[:, :, :nb].tobytes()
-    block_align = c * nb
-    byte_rate = sample_rate * block_align
-    hdr = io.BytesIO()
-    hdr.write(b"RIFF")
-    hdr.write((36 + len(data)).to_bytes(4, "little"))
-    hdr.write(b"WAVEfmt ")
-    hdr.write((16).to_bytes(4, "little"))
-    hdr.write((1).to_bytes(2, "little"))
-    hdr.write(c.to_bytes(2, "little"))
-    hdr.write(sample_rate.to_bytes(4, "little"))
-    hdr.write(byte_rate.to_bytes(4, "little"))
-    hdr.write(block_align.to_bytes(2, "little"))
-    hdr.write(bit_depth.to_bytes(2, "little"))
-    hdr.write(b"data")
-    hdr.write(len(data).to_bytes(4, "little"))
-    payload = hdr.getvalue() + data
+    payload = wav_header_bytes(n, c, sample_rate, bit_depth) + wav_pcm_bytes(
+        samples, bit_depth
+    )
     if isinstance(path_or_buf, (str, bytes)):
         with open(path_or_buf, "wb") as f:
             f.write(payload)
