@@ -687,9 +687,74 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
                        pc, pf, pk);
 }
 
+// synthesize(values, qcoeffs, sow, chcode, n, C, B) -> bytes (i64 samples,
+// [n][C][B] C-order). Host IIR synthesis + stereo recombination over the
+// normalized predictor form parse_frames emits — the all-native decode path
+// (the device scan path computes the identical samples; tests assert so).
+static PyObject* py_synthesize(PyObject*, PyObject* args) {
+  Py_buffer vb, qb, sb, cb;
+  Py_ssize_t n, C, B;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*nnn", &vb, &qb, &sb, &cb, &n, &C, &B))
+    return nullptr;
+  PyObject* out = PyBytes_FromStringAndSize(nullptr,
+                                            (Py_ssize_t)(n * C * B * 8));
+  if (!out) {
+    PyBuffer_Release(&vb); PyBuffer_Release(&qb);
+    PyBuffer_Release(&sb); PyBuffer_Release(&cb);
+    return nullptr;
+  }
+  int64_t* dst = (int64_t*)PyBytes_AS_STRING(out);
+  const int64_t* values = (const int64_t*)vb.buf;
+  const int64_t* qco = (const int64_t*)qb.buf;
+  const int32_t* sow = (const int32_t*)sb.buf;
+  const int32_t* chc = (const int32_t*)cb.buf;
+  Py_BEGIN_ALLOW_THREADS
+  for (Py_ssize_t f = 0; f < n; f++) {
+    for (Py_ssize_t ch = 0; ch < C; ch++) {
+      const int64_t* v = values + (f * C + ch) * B;
+      const int64_t* q = qco + (f * C + ch) * 32;
+      const int32_t* s = sow + (f * C + ch) * 3;
+      int64_t* o = dst + (f * C + ch) * B;
+      const int shift = s[0];
+      const int order = s[1];
+      const int wasted = s[2];
+      for (int i = 0; i < order && i < B; i++) o[i] = v[i];
+      for (Py_ssize_t i = order; i < B; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; j++) pred += q[j] * o[i - 1 - j];
+        o[i] = v[i] + (pred >> shift);
+      }
+      if (wasted)
+        for (Py_ssize_t i = 0; i < B; i++) o[i] <<= wasted;
+    }
+    if (C == 2 && chc[f] >= 8) {  // stereo recombination
+      int64_t* a = dst + (f * 2 + 0) * B;
+      int64_t* b = dst + (f * 2 + 1) * B;
+      if (chc[f] == 8) {          // left-side: (left, side) -> (l, l - s)
+        for (Py_ssize_t i = 0; i < B; i++) b[i] = a[i] - b[i];
+      } else if (chc[f] == 9) {   // side-right: (side, right) -> (s + r, r)
+        for (Py_ssize_t i = 0; i < B; i++) a[i] = a[i] + b[i];
+      } else if (chc[f] == 10) {  // mid-side
+        for (Py_ssize_t i = 0; i < B; i++) {
+          int64_t mid = a[i], side = b[i];
+          int64_t left = mid + ((side + (side & 1)) >> 1);
+          a[i] = left;
+          b[i] = left - side;
+        }
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&vb); PyBuffer_Release(&qb);
+  PyBuffer_Release(&sb); PyBuffer_Release(&cb);
+  return out;
+}
+
 static PyMethodDef methods[] = {
     {"parse_frames", py_parse_frames, METH_VARARGS,
      "batch-parse FLAC frames into device-synthesis form"},
+    {"synthesize", py_synthesize, METH_VARARGS,
+     "host IIR synthesis + stereo recombination (all-native decode)"},
     {"assemble_ranges", py_assemble_ranges, METH_VARARGS,
      "tighten a word-aligned frame stream into exact concatenation"},
     {"md5", py_md5, METH_VARARGS, "MD5 digest of a byte buffer"},

@@ -33,9 +33,11 @@ def _flac(rng, n, depth=16, channels=2, kind="mixed", **cfg_kw):
 def _assert_same(flac):
     dh = decode_flac(flac, backend="host")
     dd = decode_flac(flac, backend="device")
+    dn = decode_flac(flac, backend="native")
     np.testing.assert_array_equal(dh.samples, dd.samples)
-    assert dh.frame_count == dd.frame_count
-    assert dh.md5_ok and dd.md5_ok
+    np.testing.assert_array_equal(dh.samples, dn.samples)
+    assert dh.frame_count == dd.frame_count == dn.frame_count
+    assert dh.md5_ok and dd.md5_ok and dn.md5_ok
 
 
 @pytest.mark.parametrize("kind", ["silence", "constant", "sine", "mixed",
@@ -137,7 +139,7 @@ def test_decode_file_streaming(tmp_path, rng):
     fp = tmp_path / "a.flac"
     fp.write_bytes(flac)
 
-    for backend in ("device", "host"):
+    for backend in ("device", "native", "host"):
         out = tmp_path / f"out_{backend}.wav"
         info = decode_file(str(fp), str(out), backend=backend, verify=True)
         assert info.interchannel_samples == sig.shape[1]

@@ -313,19 +313,29 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
 
 
+def _to_i32(wire):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda w: w.astype(jnp.int32))(wire)
+
+
 _BATCH_FRAMES = 512
 
 
-def _decode_batch(data: bytes, pos: int, info: StreamInfo, check_crc: bool):
-    """Native parse + device synthesis for up to _BATCH_FRAMES consecutive
+def _decode_batch(
+    data: bytes, pos: int, info: StreamInfo, check_crc: bool,
+    synth: str = "device",
+):
+    """Native parse + batched synthesis for up to _BATCH_FRAMES consecutive
     frames sharing one block size. Returns (samples [C, m] int64, n_frames,
-    end_pos). The serial bit extraction runs in C++ (zf_native.parse_frames);
-    every subframe then synthesizes in one vectorized device scan
-    (ops/synth.py) — the decoding dual of the encoder's frames-as-batch
-    design."""
+    end_pos). The serial bit extraction runs in C++ (zf_native.parse_frames),
+    normalizing every subframe to one predictor form; synthesis then runs
+    either as one vectorized device scan (``synth="device"``, ops/synth.py —
+    the decoding dual of the encoder's frames-as-batch design) or fully in
+    the C++ runtime (``synth="native"`` — no device transfers, the fast path
+    on thin links). Both produce identical samples."""
     import _zf_native as _n
-
-    from .ops.synth import recombine_stereo, synthesize_batch
 
     C = info.channels
     try:
@@ -336,35 +346,59 @@ def _decode_batch(data: bytes, pos: int, info: StreamInfo, check_crc: bool):
         raise FlacDecodeError(str(e)) from e
     if n == 0:
         return np.zeros((C, 0), np.int64), 0, pos
-    values = np.frombuffer(vb, np.int64).reshape(n, C, B)
-    qco = np.frombuffer(qb, np.int64).reshape(n, C, 32)
-    sow = np.frombuffer(sb, np.int32).reshape(n, C, 3)
     ch_code = np.frombuffer(cb, np.int32)
     crc_ok = np.frombuffer(kb, np.uint8)
     if check_crc and not crc_ok.all():
         bad = int(np.argmin(crc_ok))
         raise FlacDecodeError(f"frame CRC mismatch (frame {bad} of batch)")
 
-    # pad the subframe axis to a power-of-two bucket: one compiled synthesis
-    # program per (bucket, B) instead of one per frame count
-    M = n * C
-    bucket = _next_pow2(M)
-    v2 = values.reshape(M, B)
-    q2 = qco.reshape(M, 32)
-    s2 = sow.reshape(M, 3)
-    if bucket != M:
-        padn = bucket - M
-        v2 = np.concatenate([v2, np.zeros((padn, B), np.int64)])
-        q2 = np.concatenate([q2, np.zeros((padn, 32), np.int64)])
-        s2 = np.concatenate([s2, np.zeros((padn, 3), np.int32)])
-    wire = synthesize_batch(v2, q2, s2[:, 0], s2[:, 1], s2[:, 2])
-    wire = wire[:M].reshape(n, C, B)
-    if C == 2 and (ch_code >= 8).any():
-        wire = recombine_stereo(wire, ch_code)
-    samples = np.asarray(wire)
+    if synth == "native":
+        samples = np.frombuffer(
+            _n.synthesize(vb, qb, sb, cb, n, C, B), np.int64
+        ).reshape(n, C, B)
+    else:
+        from .ops.synth import recombine_stereo, synthesize_batch
+
+        values = np.frombuffer(vb, np.int64).reshape(n, C, B)
+        qco = np.frombuffer(qb, np.int64).reshape(n, C, 32)
+        sow = np.frombuffer(sb, np.int32).reshape(n, C, 3)
+        # pad the subframe axis to a power-of-two bucket: one compiled
+        # synthesis program per (bucket, B) instead of one per frame count
+        M = n * C
+        bucket = _next_pow2(M)
+        v2 = values.reshape(M, B)
+        q2 = qco.reshape(M, 32)
+        s2 = sow.reshape(M, 3)
+        if bucket != M:
+            padn = bucket - M
+            v2 = np.concatenate([v2, np.zeros((padn, B), np.int64)])
+            q2 = np.concatenate([q2, np.zeros((padn, 32), np.int64)])
+            s2 = np.concatenate([s2, np.zeros((padn, 3), np.int32)])
+        wire = synthesize_batch(v2, q2, s2[:, 0], s2[:, 1], s2[:, 2])
+        wire = wire[:M].reshape(n, C, B)
+        if C == 2 and (ch_code >= 8).any():
+            wire = recombine_stereo(wire, ch_code)
+        if info.bit_depth <= 24:
+            # samples fit i32 (depth+1 side headroom <= 25 bits): halve the
+            # device->host bytes, then widen on host (the decoder's public
+            # dtype is int64 for the 33-bit depth-32 case)
+            samples = np.asarray(_to_i32(wire)).astype(np.int64)
+        else:
+            samples = np.asarray(wire)
     if np.abs(samples).max(initial=0) >= (1 << 40):
         raise FlacDecodeError("synthesis diverged — corrupt stream")
     return samples.transpose(1, 0, 2).reshape(C, n * B), n, end
+
+
+def _resolve_backend(backend: str) -> str:
+    from . import native as _native
+
+    have = _native.HAVE_NATIVE and hasattr(_native._n, "parse_frames")
+    if backend == "auto":
+        if have and hasattr(_native._n, "synthesize"):
+            return "native"
+        return "device" if have else "host"
+    return backend
 
 
 def decode_flac(
@@ -372,24 +406,22 @@ def decode_flac(
 ) -> DecodedStream:
     """Decode a FLAC stream.
 
-    ``backend``: "device" batches frames through the native C++ bit parser +
-    the vectorized device synthesis scan; "host" is the scalar per-sample
-    reference path; "auto" picks device when the native extension is built.
-    Both produce identical samples (tests/test_decoder_batch.py).
+    ``backend``: "native" batches frames through the C++ bit parser with
+    C++ IIR synthesis (no device transfers — the fast path on thin links);
+    "device" uses the same parser with the vectorized device synthesis scan;
+    "host" is the scalar per-sample reference path; "auto" picks native when
+    built. All produce identical samples (tests/test_decoder_batch.py).
     """
-    from . import native as _native
-
-    if backend == "auto":
-        backend = "device" if _native.HAVE_NATIVE and hasattr(
-            _native._n, "parse_frames"
-        ) else "host"
+    backend = _resolve_backend(backend)
     info, vendor, tags, seektable, pos = _parse_metadata(data)
     chunks: List[np.ndarray] = []
     frame_count = 0
     total = 0
     while total < info.interchannel_samples and pos < len(data):
-        if backend == "device":
-            samples, nfr, pos = _decode_batch(data, pos, info, check_crc)
+        if backend in ("device", "native"):
+            samples, nfr, pos = _decode_batch(
+                data, pos, info, check_crc, synth=backend
+            )
             if nfr == 0:
                 break
             frame_count += nfr
@@ -451,10 +483,7 @@ def decode_file(
     from . import native as _native
     from .wav import reconstruct_raw_bytes, wav_header_bytes, wav_pcm_bytes
 
-    if backend == "auto":
-        backend = "device" if _native.HAVE_NATIVE and hasattr(
-            _native._n, "parse_frames"
-        ) else "host"
+    backend = _resolve_backend(backend)
     with open(input_path, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         try:
@@ -469,9 +498,9 @@ def decode_file(
                     )
                 )
                 while total < info.interchannel_samples and pos < len(mm):
-                    if backend == "device":
+                    if backend in ("device", "native"):
                         samples, nfr, pos = _decode_batch(
-                            mm, pos, info, check_crc
+                            mm, pos, info, check_crc, synth=backend
                         )
                         if nfr == 0:
                             break

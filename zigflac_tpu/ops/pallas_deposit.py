@@ -45,8 +45,8 @@ import os as _os
 # v5e optimum). WINDOW trades VPU work per chunk against span-overflow
 # frequency — chunks whose deposits span more words fall back to the exact
 # segment-sum path via the overflow flag.
-CHUNK = int(_os.environ.get("ZF_DEP_CHUNK", "256"))   # deposits per window
-WINDOW = int(_os.environ.get("ZF_DEP_WINDOW", "256"))  # span budget (words)
+CHUNK = int(_os.environ.get("ZF_DEP_CHUNK", "384"))   # deposits per window
+WINDOW = int(_os.environ.get("ZF_DEP_WINDOW", "384"))  # span budget (words)
 _STORE = WINDOW + 128  # store window: aligned base + 0..127 remainder
 GROUP = int(_os.environ.get("ZF_DEP_GROUP", "64"))    # frames per invocation
 _UNROLL = int(_os.environ.get("ZF_DEP_UNROLL", "1"))  # chunk-loop unroll
