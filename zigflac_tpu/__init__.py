@@ -54,7 +54,12 @@ from .models.encoder import (  # noqa: E402
     encode_file_streaming,
     encode_to_file,
 )
-from .decoder import decode_flac, decode_range, verify_flac  # noqa: E402
+from .decoder import (  # noqa: E402
+    decode_file,
+    decode_flac,
+    decode_range,
+    verify_flac,
+)
 
 __version__ = "0.1.0"
 
@@ -71,6 +76,7 @@ __all__ = [
     "encode_file",
     "encode_file_streaming",
     "encode_to_file",
+    "decode_file",
     "decode_flac",
     "decode_range",
     "verify_flac",

@@ -45,11 +45,16 @@ import os as _os
 # v5e optimum). WINDOW trades VPU work per chunk against span-overflow
 # frequency — chunks whose deposits span more words fall back to the exact
 # segment-sum path via the overflow flag.
-CHUNK = int(_os.environ.get("ZF_DEP_CHUNK", "384"))   # deposits per window
-WINDOW = int(_os.environ.get("ZF_DEP_WINDOW", "384"))  # span budget (words)
+CHUNK = int(_os.environ.get("ZF_DEP_CHUNK", "128"))   # deposits per window
+WINDOW = int(_os.environ.get("ZF_DEP_WINDOW", "256"))  # span budget (words)
 _STORE = WINDOW + 128  # store window: aligned base + 0..127 remainder
 GROUP = int(_os.environ.get("ZF_DEP_GROUP", "64"))    # frames per invocation
-_UNROLL = int(_os.environ.get("ZF_DEP_UNROLL", "1"))  # chunk-loop unroll
+_UNROLL = int(_os.environ.get("ZF_DEP_UNROLL", "8"))  # chunk-loop unroll
+# Sweep notes (v5e, 1024x4096 batch, full program): the kernel plateaus at
+# ~39.5-41 ms across CHUNK 64..512 / WINDOW 192..512 / UNROLL 1..16 — the
+# serializer is the chunk->chunk read-modify-write dependency on the output
+# window, not loop count or compare-matrix width. 128/256/8 measured best
+# (2410x) with the most generous span budget (254 words per 128 deposits).
 
 
 def _round_up(x: int, m: int) -> int:
@@ -61,43 +66,51 @@ def _deposit_kernel(n_chunks: int, group: int,
     out_ref[:] = jnp.zeros_like(out_ref)
     tio = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _STORE), 1)
 
+    def one_chunk(r, row):
+        # streams are [group * n_chunks, CHUNK]: one dynamic sublane
+        # index + a static lane slice (Mosaic rejects loads that are
+        # dynamic in both dimensions)
+        w0c = w0_ref[pl.ds(row, 1), :]   # [1, CHUNK]
+        hic = hi_ref[pl.ds(row, 1), :]
+        loc = lo_ref[pl.ds(row, 1), :]
+        # window base = the chunk's first key, lane-aligned down (keys
+        # are monotone, so every rel lands in [0, _STORE-2] given the
+        # span check). Static [0, 0] indexing avoids traced 2D scalar
+        # reads, whose index math promotes to i64 and hits a Mosaic
+        # convert-lowering recursion.
+        ba_val = (w0c[0, 0] >> 7) << 7
+        # the multiple_of-wrapped value participates ONLY in slicing:
+        # mixing it into vector arithmetic recurses in tracer dispatch
+        ba = pl.multiple_of(ba_val, 128)
+        rel = w0c.reshape(CHUNK, 1) - ba_val  # [0, _STORE-2] (span check)
+        # value bits are globally disjoint -> sum == or; each deposit
+        # touches words ba+rel (hi) and ba+rel+1 (lo) only. The zero is
+        # an explicit i32: a bare literal traces as weak i64 under x64,
+        # and i64->i32 converts recurse in Mosaic's lowering.
+        zero = jnp.zeros((), jnp.int32)
+        acc = jnp.sum(
+            jnp.where(rel == tio, hic.reshape(CHUNK, 1), zero)
+            + jnp.where(rel + 1 == tio, loc.reshape(CHUNK, 1), zero),
+            axis=0,
+            dtype=jnp.int32,
+        )
+        cur = out_ref[pl.ds(r, 1), pl.ds(ba, _STORE)]
+        out_ref[pl.ds(r, 1), pl.ds(ba, _STORE)] = cur + acc[None, :]
+
     def row_body(r, carry):
         def ch_body(ch, carry2):
-            # streams are [group * n_chunks, CHUNK]: one dynamic sublane
-            # index + a static lane slice (Mosaic rejects loads that are
-            # dynamic in both dimensions)
-            row = r * jnp.int32(n_chunks) + ch
-            w0c = w0_ref[pl.ds(row, 1), :]   # [1, CHUNK]
-            hic = hi_ref[pl.ds(row, 1), :]
-            loc = lo_ref[pl.ds(row, 1), :]
-            # window base = the chunk's first key, lane-aligned down (keys
-            # are monotone, so every rel lands in [0, _STORE-2] given the
-            # span check). Static [0, 0] indexing avoids traced 2D scalar
-            # reads, whose index math promotes to i64 and hits a Mosaic
-            # convert-lowering recursion.
-            ba_val = (w0c[0, 0] >> 7) << 7
-            # the multiple_of-wrapped value participates ONLY in slicing:
-            # mixing it into vector arithmetic recurses in tracer dispatch
-            ba = pl.multiple_of(ba_val, 128)
-            rel = w0c.reshape(CHUNK, 1) - ba_val  # [0, _STORE-2] (span check)
-            # value bits are globally disjoint -> sum == or; each deposit
-            # touches words ba+rel (hi) and ba+rel+1 (lo) only. The zero is
-            # an explicit i32: a bare literal traces as weak i64 under x64,
-            # and i64->i32 converts recurse in Mosaic's lowering.
-            zero = jnp.zeros((), jnp.int32)
-            acc = jnp.sum(
-                jnp.where(rel == tio, hic.reshape(CHUNK, 1), zero)
-                + jnp.where(rel + 1 == tio, loc.reshape(CHUNK, 1), zero),
-                axis=0,
-                dtype=jnp.int32,
-            )
-            cur = out_ref[pl.ds(r, 1), pl.ds(ba, _STORE)]
-            out_ref[pl.ds(r, 1), pl.ds(ba, _STORE)] = cur + acc[None, :]
+            # manual unroll: Mosaic's fori_loop carries real per-iteration
+            # overhead (~300-700 ns) and rejects `unroll=` with traced i32
+            # bounds, so the body processes _UNROLL chunks per iteration
+            # (the caller pads the chunk count to a multiple)
+            base_row = r * jnp.int32(n_chunks) + ch * jnp.int32(_UNROLL)
+            for u in range(_UNROLL):
+                one_chunk(r, base_row + jnp.int32(u))
             return carry2
 
         jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_chunks), ch_body, jnp.int32(0),
-            unroll=_UNROLL,
+            jnp.int32(0), jnp.int32(n_chunks // _UNROLL), ch_body,
+            jnp.int32(0),
         )
         return carry
 
@@ -148,7 +161,7 @@ def deposit_words_binned(
 
     hi = jax.lax.bitcast_convert_type(hi, jnp.int32)
     lo = jax.lax.bitcast_convert_type(lo, jnp.int32)
-    s_pad = _round_up(max(s, CHUNK), CHUNK)
+    s_pad = _round_up(max(s, CHUNK * _UNROLL), CHUNK * _UNROLL)
     if s_pad != s:
         padn = s_pad - s
         w0 = jnp.concatenate(
