@@ -115,3 +115,36 @@ def test_fuzz_device_matches_golden(chunk, rng):
     d = DevicePipeline(cfg, 16, batch_size=nf).encode_frames(planes, 0, info)
     for i, (a, b) in enumerate(zip(g, d)):
         assert a == b, f"frame {i} differs (chunk {chunk})"
+
+
+@pytest.mark.parametrize("case", range(10))
+def test_fuzz_config_space(case):
+    """Config fuzz: random (prediction, lpc_order, wasted_bits, rice limits)
+    x random content — golden == device bytes AND decode round-trip."""
+    rng = np.random.default_rng(0xCF60 + case)
+    depth = int(rng.choice([16, 24]))
+    block = int(rng.choice([192, 256, 512]))
+    n = int(rng.integers(2 * block, 4 * block))
+    samples = _random_signal(rng, n, 2, depth)
+    if rng.integers(0, 2):
+        samples &= ~((1 << int(rng.integers(1, 4))) - 1)  # force wasted bits
+    cfg = EncoderConfig(
+        block_size=block,
+        channels="stereo_auto",
+        prediction=str(rng.choice(["fixed", "lpc"])),
+        lpc_order=int(rng.choice([4, 8])),
+        wasted_bits=bool(rng.integers(0, 2)),
+        max_rice_order=int(rng.choice([4, 8])),
+    )
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, depth)
+    wav_bytes = buf.getvalue()
+    g = encode_wav_bytes(wav_bytes, config=cfg, backend="golden")
+    d = encode_wav_bytes(wav_bytes, config=cfg, backend="device")
+    assert g == d, f"golden != device (case {case}, {cfg})"
+    dec = decode_flac(g)
+    from zigflac_tpu.wav import WavReader
+
+    ref = WavReader.from_bytes(wav_bytes).planar_samples()
+    np.testing.assert_array_equal(dec.samples, ref.astype(np.int64))
+    assert dec.md5_ok and verify_flac(g)

@@ -50,11 +50,14 @@ WINDOW = int(_os.environ.get("ZF_DEP_WINDOW", "256"))  # span budget (words)
 _STORE = WINDOW + 128  # store window: aligned base + 0..127 remainder
 GROUP = int(_os.environ.get("ZF_DEP_GROUP", "64"))    # frames per invocation
 _UNROLL = int(_os.environ.get("ZF_DEP_UNROLL", "8"))  # chunk-loop unroll
-# Sweep notes (v5e, 1024x4096 batch, full program): the kernel plateaus at
-# ~39.5-41 ms across CHUNK 64..512 / WINDOW 192..512 / UNROLL 1..16 — the
-# serializer is the chunk->chunk read-modify-write dependency on the output
-# window, not loop count or compare-matrix width. 128/256/8 measured best
-# (2410x) with the most generous span budget (254 words per 128 deposits).
+# Sweep notes (v5e, 1024x4096 batch): the kernel itself is ~19 ms of the
+# ~40 ms program and plateaus across CHUNK 64..512 / WINDOW 192..512 /
+# UNROLL 1..16; giving each unroll lane an independent scratch accumulator
+# (breaking the RMW dependency chain) measured identical — the bound is
+# VMEM transaction throughput of the ~33K windowed load/store pairs, not
+# loop overhead, compare-matrix width, or dependencies. 128/256/8 measured
+# best (2410x) with the most generous span budget (254 words per 128
+# deposits). Next step is fusing symbol construction in (ROADMAP item 1).
 
 
 def _round_up(x: int, m: int) -> int:
