@@ -195,7 +195,6 @@ def channel_symbols(
     # itself. Partition 0's param lands at slot 0, before the zero-width
     # masked warmup residual slots — same stream order as the reference.
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
-    psz_full = (B >> part_order)[:, None]  # [N, 1]
 
     param_len = (4 + method)[:, None]  # [N, 1]
     escape_code = ((1 << (4 + method)) - 1)[:, None]
@@ -205,10 +204,12 @@ def channel_symbols(
     esc_live256 = is_esc256 & ~fallback256
     eff_param256 = jnp.where(fallback256, 30, params_i)
 
-    # Distribute per-partition values to per-sample lanes without gathers:
-    # partition data is piecewise-constant over contiguous runs, so scatter
-    # packed deltas at partition starts and prefix-sum. One extra scatter of
-    # ones marks the starts themselves (the param symbol slots).
+    # Distribute per-partition values to per-sample lanes without gathers OR
+    # scatters: the partition order takes only po_top+1 values, and for each
+    # the distribution is a STATIC repeat of the first 2^po packed columns —
+    # select among the broadcasts with a where-chain. (The previous
+    # boundary-scatter + cumsum formulation serialized at ~4 ms per scatter
+    # on TPU — 4 scatters per stereo batch ≈ the whole symbols stage.)
     packed256 = (
         params_i
         | (eff_param256 << 5)
@@ -216,26 +217,21 @@ def channel_symbols(
         | (fallback256.astype(jnp.int32) << 11)
         | (bps << 12)
     )
-    delta = packed256 - jnp.pad(packed256, ((0, 0), (1, 0)))[:, :256]
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 256), 1)
-    pos = p_iota * psz_full  # partition start sample (>= B for unused p)
-    in_range = pos < B
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 256), 0)
-    flat_pos = rows * B + jnp.where(in_range, pos, 0)
-    d = jnp.zeros((n * B,), jnp.int32)
-    d = d.at[flat_pos.reshape(-1)].add(
-        jnp.where(in_range, delta, 0).reshape(-1)
-    )
-    per_sample = jnp.cumsum(d.reshape(n, B), axis=1)
+    po_top_here = min(max_rice_order, (B & -B).bit_length() - 1)
+    per_sample = jnp.zeros((n, B), jnp.int32)
+    ind = jnp.zeros((n, B), jnp.int32)  # 1 at partition starts
+    for po in range(po_top_here + 1):
+        nparts = 1 << po
+        at = (part_order == po)[:, None]
+        dist = jnp.repeat(packed256[:, :nparts], B >> po, axis=1)
+        per_sample = jnp.where(at, dist, per_sample)
+        start = (np.arange(B) % (B >> po) == 0).astype(np.int32)
+        ind = jnp.where(at, jnp.asarray(start)[None, :], ind)
     param_i = per_sample & 31
     k = (per_sample >> 5) & 31
     r_esc = ((per_sample >> 10) & 1) == 1
     r_fallback = ((per_sample >> 11) & 1) == 1
     r_bps = (per_sample >> 12) & 63
-
-    ind = jnp.zeros((n * B,), jnp.int32)
-    ind = ind.at[flat_pos.reshape(-1)].add(jnp.where(in_range, 1, 0).reshape(-1))
-    ind = ind.reshape(n, B)
 
     zz = _u64(zigzag_u32(residuals))
     rice_nb = (zz >> _u64(k)).astype(jnp.int64) + _u64(k).astype(jnp.int64) + 1
