@@ -64,18 +64,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _deposit_kernel(n_chunks: int, group: int,
-                    w0_ref, hi_ref, lo_ref, out_ref):
+def _deposit_kernel(n_chunks: int, group: int, pk_ref, out_ref):
     out_ref[:] = jnp.zeros_like(out_ref)
     tio = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _STORE), 1)
 
     def one_chunk(r, row):
-        # streams are [group * n_chunks, CHUNK]: one dynamic sublane
-        # index + a static lane slice (Mosaic rejects loads that are
-        # dynamic in both dimensions)
-        w0c = w0_ref[pl.ds(row, 1), :]   # [1, CHUNK]
-        hic = hi_ref[pl.ds(row, 1), :]
-        loc = lo_ref[pl.ds(row, 1), :]
+        # the three streams ride ONE interleaved array
+        # [group * n_chunks, 3*CHUNK] = [w0 | hi | lo] per chunk row: one
+        # dynamic-sublane load instead of three (VMEM transactions are the
+        # kernel's bound), then static lane slices (Mosaic rejects loads
+        # that are dynamic in both dimensions)
+        row_data = pk_ref[pl.ds(row, 1), :]  # [1, 3*CHUNK]
+        w0c = row_data[:, :CHUNK]
+        hic = row_data[:, CHUNK : 2 * CHUNK]
+        loc = row_data[:, 2 * CHUNK :]
         # window base = the chunk's first key, lane-aligned down (keys
         # are monotone, so every rel lands in [0, _STORE-2] given the
         # span check). Static [0, 0] indexing avoids traced 2D scalar
@@ -120,21 +122,17 @@ def _deposit_kernel(n_chunks: int, group: int,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(group), row_body, jnp.int32(0))
 
 
-def _call_group(w0, hi, lo, n_chunks: int, w_pad: int,
+def _call_group(packed, n_chunks: int, w_pad: int,
                 interpret: bool) -> jnp.ndarray:
-    group = w0.shape[0] // n_chunks  # frames in this tile
+    group = packed.shape[0] // n_chunks  # frames in this tile
     kern = partial(_deposit_kernel, n_chunks, group)
     return pl.pallas_call(
         kern,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((group, w_pad), jnp.int32),
         interpret=interpret,
-    )(w0, hi, lo)
+    )(packed)
 
 
 def deposit_words_binned(
@@ -189,17 +187,18 @@ def deposit_words_binned(
         hi = jnp.concatenate([hi, jnp.zeros((padr, s_pad), jnp.int32)])
         lo = jnp.concatenate([lo, jnp.zeros((padr, s_pad), jnp.int32)])
 
-    # flatten chunks into the sublane axis for single-dynamic-index loads
+    # flatten chunks into the sublane axis for single-dynamic-index loads,
+    # and interleave the three streams into one [rows, 3*CHUNK] array so
+    # each chunk costs one VMEM load instead of three
     w0 = w0.reshape(n_pad * n_chunks, CHUNK)
     hi = hi.reshape(n_pad * n_chunks, CHUNK)
     lo = lo.reshape(n_pad * n_chunks, CHUNK)
+    packed = jnp.concatenate([w0, hi, lo], axis=1)
     gc = group * n_chunks
     outs = []
     for g in range(n_pad // group):
         sl = slice(g * gc, (g + 1) * gc)
-        outs.append(
-            _call_group(w0[sl], hi[sl], lo[sl], n_chunks, w_pad, interpret)
-        )
+        outs.append(_call_group(packed[sl], n_chunks, w_pad, interpret))
     words = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     words = jax.lax.bitcast_convert_type(words, jnp.uint32)
     return words[:n, :max_words], overflow
