@@ -386,45 +386,119 @@ static PyObject* py_assemble_ranges(PyObject*, PyObject* args) {
 
 namespace frameparse {
 
+// 64-bit-window bit reader: bits live left-justified in `buf` with `avail`
+// valid top bits (the invariant: bits below the top `avail` are ZERO), the
+// window refills 8 bytes at a time via one byte-swapped load, and unary
+// (Rice quotient) scanning counts leading zeros with clz instead of testing
+// bit-by-bit. This is the decode-side hot loop — every residual bit of a
+// stream passes through here — and the window design lifted the all-native
+// decode path several-fold over the per-bit reader it replaced.
 struct BitRd {
   const uint8_t* d;
-  size_t len;     // bytes
-  size_t bit;     // absolute bit position
+  size_t len;    // total bytes
+  uint64_t buf;  // left-justified bit window
+  int avail;     // valid top bits in buf
+  size_t next;   // next byte index to pull into the window
   bool ok;
 
-  uint32_t read(int n) {  // n <= 32, MSB-first
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) {
-      size_t byte = bit >> 3;
-      if (byte >= len) { ok = false; return 0; }
-      v = (v << 1) | ((d[byte] >> (7 - (bit & 7))) & 1u);
-      bit++;
+  BitRd(const uint8_t* data, size_t n, size_t start_bit)
+      : d(data), len(n), buf(0), avail(0), next(start_bit >> 3), ok(true) {
+    int skip = (int)(start_bit & 7);
+    if (skip) {
+      refill();
+      if (avail >= skip) {
+        buf <<= skip;
+        avail -= skip;
+      } else {
+        fail();
+      }
     }
+  }
+
+  inline void fail() {
+    ok = false;
+    buf = 0;
+    avail = 0;
+    next = len;  // bitpos() lands at end-of-data; callers stop cleanly
+  }
+
+  inline void refill() {
+    if (next + 8 <= len) {
+      int take = (64 - avail) >> 3;  // whole bytes that fit in the window
+      if (take) {
+        uint64_t v;
+        std::memcpy(&v, d + next, 8);
+        v = __builtin_bswap64(v);
+        if (take < 8) v &= ~0ull << (64 - 8 * take);  // keep invariant
+        buf |= v >> avail;
+        next += (size_t)take;
+        avail += 8 * take;
+      }
+      return;
+    }
+    while (avail <= 56 && next < len) {
+      buf |= (uint64_t)d[next++] << (56 - avail);
+      avail += 8;
+    }
+  }
+
+  inline size_t bitpos() const { return (next << 3) - (size_t)avail; }
+
+  inline uint64_t read64(int n) {  // 0 <= n <= 57, MSB-first
+    if (n == 0) return 0;
+    if (avail < n) {
+      refill();
+      if (avail < n) {
+        fail();
+        return 0;
+      }
+    }
+    uint64_t v = buf >> (64 - n);
+    buf <<= n;
+    avail -= n;
     return v;
   }
-  int64_t read_signed(int n) {
+  inline uint32_t read(int n) { return (uint32_t)read64(n); }
+  inline int64_t read_signed(int n) {  // n <= 57 (max field is 33)
     if (n == 0) return 0;
-    uint64_t v = 0;
-    for (int i = 0; i < n; i++) {
-      size_t byte = bit >> 3;
-      if (byte >= len) { ok = false; return 0; }
-      v = (v << 1) | ((d[byte] >> (7 - (bit & 7))) & 1u);
-      bit++;
-    }
+    uint64_t v = read64(n);
     if (v & (1ull << (n - 1))) v -= (1ull << n);
     return (int64_t)v;
   }
-  uint32_t read_unary() {
+  inline uint32_t read_unary() {
     uint32_t q = 0;
     for (;;) {
-      size_t byte = bit >> 3;
-      if (byte >= len) { ok = false; return 0; }
-      uint32_t b = (d[byte] >> (7 - (bit & 7))) & 1u;
-      bit++;
-      if (b) return q;
-      q++;
-      if (q > (1u << 24)) { ok = false; return 0; }  // corrupt-stream guard
+      if (avail == 0) {
+        refill();
+        if (avail == 0) {
+          fail();
+          return 0;
+        }
+      }
+      if (buf == 0) {  // every valid window bit is zero: consume them all
+        q += (uint32_t)avail;
+        avail = 0;
+        if (q > (1u << 24)) {  // corrupt-stream guard
+          fail();
+          return 0;
+        }
+        continue;
+      }
+      int z = __builtin_clzll(buf);
+      if (z >= avail) {  // zeros run to the window edge
+        q += (uint32_t)avail;
+        buf = 0;
+        avail = 0;
+        continue;
+      }
+      buf <<= z + 1;  // zeros + the stop bit
+      avail -= z + 1;
+      return q + (uint32_t)z;
     }
+  }
+  inline void align_byte() {
+    int rem = (int)(bitpos() & 7);
+    if (rem) read64(8 - rem);
   }
 };
 
@@ -557,7 +631,7 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
 
   Py_BEGIN_ALLOW_THREADS
   while (nframes < max_frames && pos + 2 <= len) {
-    BitRd r{data, len, pos * 8, true};
+    BitRd r(data, len, pos * 8);
     uint32_t sync = r.read(14);
     if (!r.ok || sync != 0x3FFE) { err = "bad frame sync"; break; }
     r.read(1);
@@ -597,7 +671,7 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
     if (batch_bs < 0) batch_bs = bs;
     else if (bs != batch_bs) break;  // tail frame: next call handles it
 
-    size_t header_end = r.bit >> 3;
+    size_t header_end = r.bitpos() >> 3;
     uint8_t c8 = 0;
     for (size_t i = pos; i < header_end; i++) c8 = crc8_table[c8 ^ data[i]];
     uint32_t got8 = r.read(8);
@@ -643,8 +717,8 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
       break;
     }
     // byte-align, CRC-16 footer
-    r.bit = (r.bit + 7) & ~(size_t)7;
-    size_t body_end = r.bit >> 3;
+    r.align_byte();
+    size_t body_end = r.bitpos() >> 3;
     if (body_end + 2 > len) {
       values.resize(vbase);
       qcoeffs.resize(qbase);
@@ -696,6 +770,15 @@ static PyObject* py_synthesize(PyObject*, PyObject* args) {
   Py_ssize_t n, C, B;
   if (!PyArg_ParseTuple(args, "y*y*y*y*nnn", &vb, &qb, &sb, &cb, &n, &C, &B))
     return nullptr;
+  // the buffers come from Python callers: validate every length against the
+  // claimed geometry before touching raw pointers
+  if (n < 0 || C < 0 || B < 0 || vb.len != n * C * B * 8 ||
+      qb.len != n * C * 32 * 8 || sb.len != n * C * 3 * 4 || cb.len != n * 4) {
+    PyBuffer_Release(&vb); PyBuffer_Release(&qb);
+    PyBuffer_Release(&sb); PyBuffer_Release(&cb);
+    PyErr_SetString(PyExc_ValueError, "synthesize: buffer/geometry mismatch");
+    return nullptr;
+  }
   PyObject* out = PyBytes_FromStringAndSize(nullptr,
                                             (Py_ssize_t)(n * C * B * 8));
   if (!out) {

@@ -164,3 +164,131 @@ def test_hand_crc_check_values():
     values ("123456789"): CRC-8/SMBUS 0xF4, CRC-16/UMTS 0xFEE8."""
     assert crc8(b"123456789") == 0xF4
     assert crc16(b"123456789") == 0xFEE8
+
+
+def encode_both_cfg(samples, block, depth, rate, frame_number, **cfg_kwargs):
+    c = samples.shape[0]
+    cfg = EncoderConfig(block_size=block, channels=c, **cfg_kwargs)
+    info = StreamInfo(rate, c, depth, samples.shape[1], block, block)
+    g = golden.encode_frame([samples[i] for i in range(c)], frame_number,
+                            info, cfg)
+    frames = samples.reshape(c, 1, block).transpose(1, 0, 2)
+    d = DevicePipeline(cfg, depth, batch_size=1).encode_frames(
+        frames, frame_number, info
+    )[0]
+    return g, d
+
+
+def test_hand_wasted_bits_frame():
+    """Wasted-bits subframe layout, hand-assembled from the FLAC spec
+    (extension — the reference has no wasted-bits support, so the spec is
+    the only authority): samples are 4x the order-0 vector above, so the OR
+    of the block has k=2 trailing zero bits. Spec layout: subframe header
+    pad/type/flag with flag=1, then k-1 unary coded ((k-1) zeros then a 1 —
+    k=2 -> bits 01), then the subframe encodes plane>>k. The shifted plane
+    is exactly test_hand_rice_coded_order0_frame's, so the fixed-order-0 /
+    k=2 / po=0 derivation carries over unchanged."""
+    hb = (
+        HandBits()
+        .w(8, ((8 | 0) << 1) | 1)  # fixed order 0, wasted flag set
+        .w(2, 0b01)                # wasted k=2: one zero, stop bit
+        .w(2, 0).w(4, 0)           # method FOUR, partition order 0
+        .w(4, 2)                   # rice param k=2
+    )
+    for zz in (10, 6, 12, 4, 14, 2, 16, 0):
+        hb.w(zz >> 2, 0).w(1, 1).w(2, zz & 3)
+    body = hb.to_bytes()
+    expected = finish_frame(
+        bytes([0xFF, 0xF8, 0x69, 0x02, 0x02, 0x07]), body
+    )
+    samples = 4 * np.array([[5, 3, 6, 2, 7, 1, 8, 0]], np.int32)
+    g, d = encode_both_cfg(samples, 8, 8, 44100, 2, wasted_bits=True)
+    assert g == expected
+    assert d == expected
+
+
+def test_hand_lpc_subframe_decode():
+    """LPC subframe layout, hand-assembled from the FLAC spec and verified
+    against the DECODER (extension — the reference stubs LPC). This breaks
+    the encoder<->decoder shared-misreading loop: the decoder must read
+    spec-exact bytes (order = (type & 31) + 1, precision field = precision-1,
+    5-bit shift, order coefficients MSB-first, floor-shift prediction), and
+    the existing encode->decode round-trip tests then pin the encoder to the
+    same layout.
+
+    Frame: mono, depth 8, block 8, LPC order 2, precision 4 (field 3),
+    shift 2, coeffs [3, -1], warmup [10, 12], residuals [1,-2,0,3,-1,2].
+    Synthesis by hand (pred = (3*x[i-1] - x[i-2]) >> 2, arithmetic floor
+    shift): x = [10, 12, 7, 0, -2, 1, 0, 1]."""
+    hb = (
+        HandBits()
+        .w(8, (0x20 | (2 - 1)) << 1)  # LPC subframe, order 2, no wasted
+        .w(8, 10).w(8, 12)            # warmup at sample_size 8
+        .w(4, 3)                      # precision - 1
+        .w(5, 2)                      # shift
+        .w(4, 3).w(4, 0b1111)         # coeffs 3, -1 (4-bit two's complement)
+        .w(2, 0).w(4, 0)              # method FOUR, partition order 0
+        .w(4, 1)                      # rice param k=1
+    )
+    for zz in (2, 3, 0, 6, 1, 4):     # zigzag(1,-2,0,3,-1,2)
+        hb.w(zz >> 1, 0).w(1, 1).w(1, zz & 1)
+    frame = finish_frame(
+        bytes([0xFF, 0xF8, 0x69, 0x02, 0x03, 0x07]), hb.to_bytes()
+    )
+    expected_samples = np.array([10, 12, 7, 0, -2, 1, 0, 1], np.int64)
+
+    from zigflac_tpu.decoder import decode_frame
+
+    info = StreamInfo(44100, 1, 8, 8, 8, 8)
+    samples, fn, end = decode_frame(frame, 0, info, check_crc=True)
+    assert fn == 3
+    assert end == len(frame)
+    np.testing.assert_array_equal(samples[0], expected_samples)
+
+    # the native batch parser must agree byte-for-byte with the scalar path
+    try:
+        import _zf_native  # noqa: F401
+    except ImportError:
+        return
+    from zigflac_tpu.decoder import _decode_batch
+
+    for synth in ("native", "device"):
+        got, nfr, endn = _decode_batch(frame, 0, info, True, synth=synth)
+        assert nfr == 1 and endn == len(frame)
+        np.testing.assert_array_equal(got[0], expected_samples)
+
+
+def test_hand_wasted_bits_decode():
+    """Wasted-bits decode layout from the spec: the hand frame from
+    test_hand_wasted_bits_frame must decode to the ORIGINAL (unshifted)
+    samples on every decoder backend."""
+    hb = (
+        HandBits()
+        .w(8, ((8 | 0) << 1) | 1)
+        .w(2, 0b01)
+        .w(2, 0).w(4, 0)
+        .w(4, 2)
+    )
+    for zz in (10, 6, 12, 4, 14, 2, 16, 0):
+        hb.w(zz >> 2, 0).w(1, 1).w(2, zz & 3)
+    frame = finish_frame(
+        bytes([0xFF, 0xF8, 0x69, 0x02, 0x02, 0x07]), hb.to_bytes()
+    )
+    expected = 4 * np.array([5, 3, 6, 2, 7, 1, 8, 0], np.int64)
+
+    from zigflac_tpu.decoder import decode_frame
+
+    info = StreamInfo(44100, 1, 8, 8, 8, 8)
+    samples, fn, end = decode_frame(frame, 0, info, check_crc=True)
+    assert fn == 2 and end == len(frame)
+    np.testing.assert_array_equal(samples[0], expected)
+    try:
+        import _zf_native  # noqa: F401
+    except ImportError:
+        return
+    from zigflac_tpu.decoder import _decode_batch
+
+    for synth in ("native", "device"):
+        got, nfr, endn = _decode_batch(frame, 0, info, True, synth=synth)
+        assert nfr == 1 and endn == len(frame)
+        np.testing.assert_array_equal(got[0], expected)

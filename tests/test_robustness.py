@@ -2,6 +2,7 @@
 container parsing handles real-world WAV layouts."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -126,3 +127,142 @@ def test_pcm_extend_format(rng):
     wav = WavReader.from_bytes(out)
     assert wav.bit_depth == 24
     np.testing.assert_array_equal(wav.planar_samples(), samples)
+
+
+def test_seek_interval_must_be_positive(rng, tmp_path):
+    """A non-positive seek interval raises up front instead of looping
+    forever in the seekpoint counter (or emitting a garbage table)."""
+    from zigflac_tpu.metadata import StreamInfo
+    from zigflac_tpu.models.encoder import Encoder, encode_file_streaming
+    from zigflac_tpu.utils.config import EncoderConfig
+
+    samples = make_signal(rng, 1000, channels=2, depth=16, kind="sine")
+    wav_path = tmp_path / "in.wav"
+    write_wav(str(wav_path), samples, 44100, 16)
+    for bad in (0, -1, -44100):
+        with pytest.raises(ValueError, match="seek_interval"):
+            encode_file_streaming(
+                str(wav_path), str(tmp_path / "out.flac"),
+                backend="golden", seek_interval=bad,
+            )
+    info = StreamInfo(
+        sample_rate=44100, channels=2, bit_depth=16,
+        interchannel_samples=1000, min_block_size=4096, max_block_size=4096,
+    )
+    enc = Encoder(EncoderConfig(channels="stereo_auto"), 16, backend="golden")
+    with pytest.raises(ValueError, match="seek_interval"):
+        enc.encode_stream(samples, info, seek_interval=-1)
+
+
+def test_truncated_wav_fails_before_output(rng, tmp_path):
+    """A data chunk shorter than its declared length fails at open time
+    (WavFormatError) and never leaves a partial .flac on disk."""
+    from zigflac_tpu.models.encoder import encode_file
+    from zigflac_tpu.wav import WavStreamReader
+
+    samples = make_signal(rng, 5000, channels=2, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, samples, 44100, 16)
+    raw = buf.getvalue()
+    wav_path = tmp_path / "trunc.wav"
+    wav_path.write_bytes(raw[: len(raw) - 1000])  # cut into the data chunk
+    out_path = tmp_path / "out.flac"
+    with pytest.raises(WavFormatError, match="IncompleteStream"):
+        encode_file(str(wav_path), str(out_path), backend="golden")
+    assert not out_path.exists()
+    with pytest.raises(WavFormatError, match="IncompleteStream"):
+        WavStreamReader.open(str(wav_path))
+
+
+def test_partial_output_removed_on_midstream_failure(rng, tmp_path, monkeypatch):
+    """Failures raised after frames started streaming delete the partial
+    output file instead of leaving a half-written .flac behind."""
+    from zigflac_tpu.models import encoder as enc_mod
+
+    samples = make_signal(rng, 5000, channels=2, depth=16, kind="mixed")
+    wav_path = tmp_path / "in.wav"
+    write_wav(str(wav_path), samples, 44100, 16)
+    out_path = tmp_path / "out.flac"
+
+    def boom(*a, **k):
+        raise RuntimeError("injected mid-encode failure")
+
+    monkeypatch.setattr(enc_mod, "build_seekpoints", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        enc_mod.encode_file(
+            str(wav_path), str(out_path), backend="golden",
+            seek_interval=1000,
+        )
+    assert not out_path.exists()
+
+
+def test_native_synthesize_validates_geometry():
+    """Mismatched buffer lengths raise ValueError instead of reading or
+    writing out of bounds in native code."""
+    _n = pytest.importorskip("_zf_native")
+    if not hasattr(_n, "synthesize"):
+        pytest.skip("native synthesize not built")
+    n, C, B = 1, 2, 16
+    vb = bytes(n * C * B * 8)
+    qb = bytes(n * C * 32 * 8)
+    sb = bytes(n * C * 3 * 4)
+    cb = bytes(n * 4)
+    # the well-formed call works
+    out = _n.synthesize(vb, qb, sb, cb, n, C, B)
+    assert len(out) == n * C * B * 8
+    for bad in (
+        (vb[:-8], qb, sb, cb),
+        (vb, qb[:-8], sb, cb),
+        (vb, qb, sb[:-4], cb),
+        (vb, qb, sb, cb + b"\x00" * 4),
+    ):
+        with pytest.raises(ValueError, match="geometry"):
+            _n.synthesize(*bad, n, C, B)
+    with pytest.raises(ValueError, match="geometry"):
+        _n.synthesize(vb, qb, sb, cb, n, C, B + 1)
+
+
+def test_deposit_tunables_validated():
+    """Env-overridden kernel tunables are clamped/aligned at import: a
+    WINDOW that would misalign the 128-lane store window rounds up."""
+    import subprocess
+    import sys
+
+    code = (
+        "from zigflac_tpu.ops import pallas_deposit as d\n"
+        "assert d.WINDOW % 128 == 0, d.WINDOW\n"
+        "assert d._STORE % 128 == 0, d._STORE\n"
+        "assert d.WINDOW >= 200, d.WINDOW\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, ZF_DEP_WINDOW="200", ZF_DEP_CHUNK="0",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "ok" in r.stdout
+
+
+def test_cli_decode_forwards_backend(rng, tmp_path, monkeypatch):
+    """--decode honors --backend: golden maps to the decoder's scalar host
+    path (previously the flag was silently ignored)."""
+    import zigflac_tpu.cli as cli
+    import zigflac_tpu.decoder as dec
+
+    flac = make_flac(rng)
+    fp = tmp_path / "x.flac"
+    fp.write_bytes(flac)
+    seen = {}
+    real = dec.decode_file
+
+    def spy(inp, outp, **kw):
+        seen["backend"] = kw.get("backend", "auto")
+        return real(inp, outp, **kw)
+
+    monkeypatch.setattr(dec, "decode_file", spy)
+    rc = cli.main([str(fp), str(tmp_path / "x.wav"), "--decode",
+                   "--backend", "golden"])
+    assert rc == 0
+    assert seen["backend"] == "host"

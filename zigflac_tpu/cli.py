@@ -97,10 +97,14 @@ def _decode_main(args) -> int:
     Host memory stays O(frame batch) via decoder.decode_file."""
     from .decoder import FlacDecodeError, decode_file
 
+    # the decoder's scalar reference path is named "host"; the shared
+    # --backend flag calls it "golden" on the encode side
+    backend = {"golden": "host"}.get(args.backend, args.backend)
     t0 = time.perf_counter()
     try:
         info = decode_file(
-            args.input, args.output, check_crc=True, verify=args.verify
+            args.input, args.output, check_crc=True, verify=args.verify,
+            backend=backend,
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -527,7 +527,14 @@ def decode_file(
                     f"{info.interchannel_samples}"
                 )
             if md5 is not None and info.md5 != b"\x00" * 16:
-                if info.bit_depth < 8 or md5.digest() != info.md5:
+                if info.bit_depth < 8:
+                    # sub-byte depths cannot be re-serialized to the raw
+                    # container bytes the MD5 covers — report unsupported,
+                    # not a (false) mismatch
+                    raise FlacDecodeError(
+                        "cannot verify MD5 for bit depth < 8"
+                    )
+                if md5.digest() != info.md5:
                     raise FlacDecodeError("MD5 mismatch")
             return info
         finally:

@@ -114,6 +114,10 @@ class Encoder:
         (picture_block/cuesheet_block, built with is_last=False) — the
         last-block flag is fixed up here.
         """
+        if seek_interval is not None and seek_interval <= 0:
+            raise ValueError(
+                f"seek_interval must be positive, got {seek_interval}"
+            )
         c, n = samples.shape
         block = self.config.block_size
         n_full = n // block
@@ -410,11 +414,12 @@ def encode_file_streaming(
     as each device batch collects, and the MD5 accumulates incrementally
     (native streaming context, native.Md5Stream).
     """
-    from collections import deque
-
-    from ..metadata import HEADER_SIZE
-    from ..native import Md5Stream
     from ..wav import WavStreamReader
+
+    if seek_interval is not None and seek_interval <= 0:
+        # _count_seekpoints never terminates for interval <= 0 and a
+        # negative interval passes the truthiness gates below
+        raise ValueError(f"seek_interval must be positive, got {seek_interval}")
 
     with WavStreamReader.open(input_path) as wav:
         cfg = config or EncoderConfig.default(wav.channels)
@@ -428,112 +433,142 @@ def encode_file_streaming(
                 else 1024
             )
 
-        with open(output_path, "wb") as out:
-            # -- metadata chain (STREAMINFO + SEEKTABLE patched at the end) --
-            out.write(b"\x00" * HEADER_SIZE)
-            seek_pos = None
-            n_points = 0
-            if seek_interval:
-                n_points = _count_seekpoints(
-                    info.interchannel_samples, block, seek_interval
-                )
-                seek_pos = out.tell()
-                out.write(
-                    seek_table_block([(0, 0, 0)] * n_points, is_last=False)
-                )
-            blocks = [vorbis_comment_block(is_last=False, tags=tags)]
-            for extra in extra_metadata or []:
-                blocks.append(extra)
-            if padding > 0:
-                blocks.append(padding_block(padding, is_last=False))
-            blocks[-1] = set_last_flag(blocks[-1])
-            for b in blocks:
-                out.write(b)
+        try:
+            info = _stream_frames_to_file(
+                wav, enc, info, output_path, block, frames_per_chunk,
+                tags, seek_interval, padding, extra_metadata,
+            )
+        except BaseException:
+            # never leave a partially written .flac behind (the in-memory
+            # path fails before creating output; match that contract)
+            import contextlib
+            import os
 
-            # -- stream frames chunk by chunk --------------------------------
-            md5 = Md5Stream()
-            sizes: List[np.ndarray] = []
-            pending: deque = deque()
-            frame_no = 0
+            with contextlib.suppress(OSError):
+                os.unlink(output_path)
+            raise
+    return info
 
-            def drain_one():
-                got = enc._device_pipeline().collect_batch(
-                    pending.popleft(), info
-                )
-                out.write(got[0])
-                sizes.append(got[1])
 
-            while True:
-                raw, planar = wav.read_samples(frames_per_chunk * block)
-                if planar.shape[1] == 0:
-                    break
-                md5.update(raw)
-                c, m = planar.shape
-                n_full = m // block
-                rem = m - n_full * block
-                tail_dev = enc.backend == "device" and _tail_on_device(rem)
-                if enc.backend == "device":
-                    pipe = enc._device_pipeline()
-                    if n_full:
-                        chunk = (
-                            planar[:, : n_full * block]
-                            .reshape(c, n_full, block)
-                            .transpose(1, 0, 2)
+def _stream_frames_to_file(
+    wav, enc, info, output_path, block, frames_per_chunk,
+    tags, seek_interval, padding, extra_metadata,
+) -> StreamInfo:
+    """The body of ``encode_file_streaming`` once the feeder and encoder are
+    set up: writes the metadata chain, streams frames batch by batch, and
+    patches STREAMINFO + SEEKTABLE on the closing seek-back. Split out so the
+    caller can delete the partial output on any failure."""
+    from collections import deque
+
+    from ..metadata import HEADER_SIZE
+    from ..native import Md5Stream
+
+    with open(output_path, "wb") as out:
+        # -- metadata chain (STREAMINFO + SEEKTABLE patched at the end) --
+        out.write(b"\x00" * HEADER_SIZE)
+        seek_pos = None
+        n_points = 0
+        if seek_interval:
+            n_points = _count_seekpoints(
+                info.interchannel_samples, block, seek_interval
+            )
+            seek_pos = out.tell()
+            out.write(
+                seek_table_block([(0, 0, 0)] * n_points, is_last=False)
+            )
+        blocks = [vorbis_comment_block(is_last=False, tags=tags)]
+        for extra in extra_metadata or []:
+            blocks.append(extra)
+        if padding > 0:
+            blocks.append(padding_block(padding, is_last=False))
+        blocks[-1] = set_last_flag(blocks[-1])
+        for b in blocks:
+            out.write(b)
+
+        # -- stream frames chunk by chunk --------------------------------
+        md5 = Md5Stream()
+        sizes: List[np.ndarray] = []
+        pending: deque = deque()
+        frame_no = 0
+
+        def drain_one():
+            got = enc._device_pipeline().collect_batch(
+                pending.popleft(), info
+            )
+            out.write(got[0])
+            sizes.append(got[1])
+
+        while True:
+            raw, planar = wav.read_samples(frames_per_chunk * block)
+            if planar.shape[1] == 0:
+                break
+            md5.update(raw)
+            c, m = planar.shape
+            n_full = m // block
+            rem = m - n_full * block
+            tail_dev = enc.backend == "device" and _tail_on_device(rem)
+            if enc.backend == "device":
+                pipe = enc._device_pipeline()
+                if n_full:
+                    chunk = (
+                        planar[:, : n_full * block]
+                        .reshape(c, n_full, block)
+                        .transpose(1, 0, 2)
+                    )
+                    fns = frame_no + np.arange(n_full, dtype=np.int64)
+                    pending.append(pipe.dispatch_batch(chunk, fns, info))
+                if tail_dev:
+                    pending.append(
+                        pipe.dispatch_tail(
+                            planar[:, n_full * block :],
+                            frame_no + n_full,
+                            info,
                         )
-                        fns = frame_no + np.arange(n_full, dtype=np.int64)
-                        pending.append(pipe.dispatch_batch(chunk, fns, info))
-                    if tail_dev:
-                        pending.append(
-                            pipe.dispatch_tail(
-                                planar[:, n_full * block :],
-                                frame_no + n_full,
-                                info,
-                            )
-                        )
-                    # keep at most 2 batches in flight: the window bounds
-                    # host memory while device compute overlaps disk reads
-                    while len(pending) > 2:
-                        drain_one()
-                else:
-                    for i in range(n_full):
-                        planes = [
-                            planar[ch, i * block : (i + 1) * block]
-                            for ch in range(c)
-                        ]
-                        fb = enc.encode_frame(planes, frame_no + i, info)
-                        out.write(fb)
-                        sizes.append(np.array([len(fb)], np.int64))
-                if rem and not tail_dev:
-                    planes = [planar[ch, n_full * block :] for ch in range(c)]
-                    fb = enc.encode_frame(planes, frame_no + n_full, info)
-                    # ragged tails only occur on the final chunk, after all
-                    # in-flight full batches (frame order is preserved)
-                    while pending:
-                        drain_one()
+                    )
+                # keep at most 2 batches in flight: the window bounds
+                # host memory while device compute overlaps disk reads
+                while len(pending) > 2:
+                    drain_one()
+            else:
+                for i in range(n_full):
+                    planes = [
+                        planar[ch, i * block : (i + 1) * block]
+                        for ch in range(c)
+                    ]
+                    fb = enc.encode_frame(planes, frame_no + i, info)
                     out.write(fb)
                     sizes.append(np.array([len(fb)], np.int64))
-                frame_no += n_full + (1 if rem else 0)
-            while pending:
-                drain_one()
+            if rem and not tail_dev:
+                planes = [planar[ch, n_full * block :] for ch in range(c)]
+                fb = enc.encode_frame(planes, frame_no + n_full, info)
+                # ragged tails only occur on the final chunk, after all
+                # in-flight full batches (frame order is preserved)
+                while pending:
+                    drain_one()
+                out.write(fb)
+                sizes.append(np.array([len(fb)], np.int64))
+            frame_no += n_full + (1 if rem else 0)
+        while pending:
+            drain_one()
 
-            all_sizes = (
-                np.concatenate(sizes) if sizes else np.zeros(0, np.int64)
+        all_sizes = (
+            np.concatenate(sizes) if sizes else np.zeros(0, np.int64)
+        )
+        info.update_frame_sizes(all_sizes)
+        info.md5 = md5.digest()
+
+        # -- closing seek-back: STREAMINFO + SEEKTABLE -------------------
+        out.flush()
+        out.seek(0)
+        out.write(streaminfo_block(info, is_last=False)[:HEADER_SIZE])
+        if seek_pos is not None:
+            pts = build_seekpoints(
+                all_sizes, block, seek_interval, info.interchannel_samples
             )
-            info.update_frame_sizes(all_sizes)
-            info.md5 = md5.digest()
-
-            # -- closing seek-back: STREAMINFO + SEEKTABLE -------------------
-            out.flush()
-            out.seek(0)
-            out.write(streaminfo_block(info, is_last=False)[:HEADER_SIZE])
-            if seek_pos is not None:
-                pts = build_seekpoints(
-                    all_sizes, block, seek_interval, info.interchannel_samples
-                )
-                assert len(pts) == n_points, "seekpoint geometry mismatch"
-                out.seek(seek_pos)
-                out.write(seek_table_block(pts, is_last=False))
-            out.flush()
+            assert len(pts) == n_points, "seekpoint geometry mismatch"
+            out.seek(seek_pos)
+            out.write(seek_table_block(pts, is_last=False))
+        out.flush()
     return info
 
 

@@ -143,6 +143,9 @@ class DevicePipeline:
         self.bit_depth = bit_depth
         self.batch_size = batch_size
         self._mesh = _product_mesh()  # None = single device
+        # LPC double-buffering: batches whose lag program is in flight but
+        # whose main program has not been dispatched yet (see dispatch_batch)
+        self._lpc_deferred: List[dict] = []
 
     def _encode_batch_fn(self, n: int, c: int, block_size: int, sample_rate: int):
         """Words-path program (tests, mesh parity, capacity fallback)."""
@@ -210,19 +213,13 @@ class DevicePipeline:
 
     # -- dispatch/collect primitives (streaming feeder builds on these) -----
 
-    def _lpc_host_pre(self, chunk: np.ndarray, info):
-        """LPC phase 1 (opt-in prediction mode): device integer lag sums ->
-        small fetch -> host float Levinson + quantization (the only float
-        math, one shared IEEE-deterministic implementation — ops/lpc.py).
-        Returns (qc [n, P, K, 32] i32, shift [n, P, K] i32, ok bool) or None
-        for non-LPC configs."""
-        if self.config.prediction != "lpc":
-            return None
+    def _lpc_pre_from_lags(self, lags: np.ndarray):
+        """LPC phase 2: host float Levinson + quantization over fetched
+        integer lag sums (the only float math, one shared IEEE-deterministic
+        implementation — ops/lpc.py). Returns the (qc [n, P, K, 32] i32,
+        shift [n, P, K] i32, ok bool) main-program inputs."""
         from ..ops.lpc import coeffs_from_lags, lpc_candidate_orders
 
-        n, c, B = chunk.shape
-        lag_fn = _compiled_lpc_lags(self.config, self.bit_depth, c, B)
-        lags = np.asarray(lag_fn(jnp.asarray(self._feed(chunk))))
         orders = lpc_candidate_orders(self.config.lpc_order)
         pre = coeffs_from_lags(lags, orders, self.config.lpc_precision)
         qc = np.stack([p[1] for p in pre], axis=2)
@@ -230,10 +227,17 @@ class DevicePipeline:
         ok = np.stack([p[3] for p in pre], axis=2)
         return qc, sh, ok
 
-    def dispatch_batch(self, chunk: np.ndarray, fns: np.ndarray, info) -> tuple:
+    def dispatch_batch(self, chunk: np.ndarray, fns: np.ndarray, info) -> dict:
         """Asynchronously dispatch one batch of full frames ``[n<=bs, C, B]``
         to the device (tier-0 capacity). Returns an opaque pending handle for
-        ``collect_batch``; compute overlaps anything the host does next."""
+        ``collect_batch``; compute overlaps anything the host does next.
+
+        LPC mode is double-buffered: the batch's integer lag-sum program is
+        dispatched immediately (async), but the lag fetch + host Levinson +
+        main-program dispatch are DEFERRED until the next ``dispatch_batch``
+        (or this batch's collect) — by then the lag program has computed in
+        the background, so no dispatch ever blocks on a synchronous device
+        round trip (the ~30-50 ms relay sync the fixed path never pays)."""
         nreal, c, B = chunk.shape
         ndev = self._mesh.devices.size if self._mesh is not None else 1
         bucket = min(self.batch_size, _next_pow2(nreal))
@@ -243,47 +247,89 @@ class DevicePipeline:
             pad = np.repeat(chunk[-1:], bucket - nreal, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
             fns = np.concatenate([fns, np.repeat(fns[-1:], bucket - nreal)])
-        pre = self._lpc_host_pre(chunk, info)
-        pre_j = (
-            tuple(jnp.asarray(x) for x in pre) if pre is not None else ()
-        )
+        rec = {"chunk": chunk, "nreal": nreal, "fns": fns, "B": B,
+               "rate": info.sample_rate}
+        if self.config.prediction == "lpc":
+            lag_fn = _compiled_lpc_lags(self.config, self.bit_depth, c, B)
+            rec["lags"] = lag_fn(jnp.asarray(self._feed(chunk)))
+            self._lpc_deferred.append(rec)
+            while len(self._lpc_deferred) > 1:
+                self._dispatch_main(self._lpc_deferred.pop(0))
+        else:
+            self._dispatch_main(rec)
+        return rec
+
+    def _dispatch_main(self, rec: dict) -> None:
+        """Phase 2 of a dispatch: finish any LPC host pre-pass and launch the
+        main encode program. Idempotent via the ``out`` key."""
+        chunk = rec["chunk"]
+        _, c, B = chunk.shape
+        pre_j = ()
+        if "lags" in rec:
+            pre = self._lpc_pre_from_lags(np.asarray(rec.pop("lags")))
+            pre_j = tuple(jnp.asarray(x) for x in pre)
         if self._mesh is not None:
             from ..parallel.mesh import encode_compact_sharded
 
             stream, meta, frame_cap = encode_compact_sharded(
-                jnp.asarray(self._feed(chunk)), jnp.asarray(fns),
-                self.config, self.bit_depth, info.sample_rate, 0,
+                jnp.asarray(self._feed(chunk)), jnp.asarray(rec["fns"]),
+                self.config, self.bit_depth, rec["rate"], 0,
                 _default_deposit(), self._mesh, lpc_pre=pre_j,
             )
             out = (stream, meta)
         else:
-            fn, frame_cap = self._compact_fn(
-                c, B, info.sample_rate, 0, chunk.shape[0]
+            fn, frame_cap = self._compact_fn(c, B, rec["rate"], 0,
+                                             chunk.shape[0])
+            out = fn(
+                jnp.asarray(self._feed(chunk)), jnp.asarray(rec["fns"]),
+                *pre_j,
             )
-            out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(fns), *pre_j)
-        return (chunk, nreal, fns, out, frame_cap, B, pre_j)
+        rec["out"] = out
+        rec["frame_cap"] = frame_cap
+        rec["pre_j"] = pre_j
 
-    def dispatch_tail(self, tail: np.ndarray, frame_number: int, info) -> tuple:
+    def dispatch_tail(self, tail: np.ndarray, frame_number: int, info) -> dict:
         """Dispatch a ragged final frame ``[C, rem]`` at its exact block size
-        (batch 1); numbered ``frame_number``."""
+        (batch 1); numbered ``frame_number``. Flushes any deferred LPC main
+        dispatches first (tails always follow the full batches)."""
+        while self._lpc_deferred:
+            self._dispatch_main(self._lpc_deferred.pop(0))
         rem = tail.shape[1]
         c = tail.shape[0]
         tchunk = tail[None, ...]
         tfns = np.array([frame_number], np.int64)
-        pre = self._lpc_host_pre(tchunk, info)
-        pre_j = tuple(jnp.asarray(x) for x in pre) if pre is not None else ()
+        rec = {"chunk": tchunk, "nreal": 1, "fns": tfns, "B": rem,
+               "rate": info.sample_rate}
+        pre_j = ()
+        if self.config.prediction == "lpc":
+            lag_fn = _compiled_lpc_lags(self.config, self.bit_depth, c, rem)
+            lags = np.asarray(lag_fn(jnp.asarray(self._feed(tchunk))))
+            pre_j = tuple(
+                jnp.asarray(x) for x in self._lpc_pre_from_lags(lags)
+            )
         fn, frame_cap = self._compact_fn(c, rem, info.sample_rate, 0, 1)
-        out = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns), *pre_j)
-        return (tchunk, 1, tfns, out, frame_cap, rem, pre_j)
+        rec["out"] = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns),
+                        *pre_j)
+        rec["frame_cap"] = frame_cap
+        rec["pre_j"] = pre_j
+        return rec
 
-    def collect_batch(self, pending: tuple, info) -> Tuple[bytes, np.ndarray]:
+    def collect_batch(self, pending: dict, info) -> Tuple[bytes, np.ndarray]:
         """Fetch one dispatched batch's frame bytes + sizes, re-encoding
         through the capacity ladder on overflow."""
-        chunk, nreal, fns, out, frame_cap, blk, pre_j = pending
-        got = self._collect(out, nreal, frame_cap)
+        if "out" not in pending:  # deferred LPC main dispatch (newest batch)
+            # identity-based removal: dict == on array values is ambiguous
+            self._lpc_deferred = [
+                r for r in self._lpc_deferred if r is not pending
+            ]
+            self._dispatch_main(pending)
+        got = self._collect(pending["out"], pending["nreal"],
+                            pending["frame_cap"])
         if got is None:
             got = self._encode_overflow(
-                chunk, nreal, fns, chunk.shape[1], blk, info, pre_j
+                pending["chunk"], pending["nreal"], pending["fns"],
+                pending["chunk"].shape[1], pending["B"], info,
+                pending["pre_j"],
             )
         return got
 

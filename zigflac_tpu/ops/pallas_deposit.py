@@ -45,11 +45,14 @@ import os as _os
 # v5e optimum). WINDOW trades VPU work per chunk against span-overflow
 # frequency — chunks whose deposits span more words fall back to the exact
 # segment-sum path via the overflow flag.
-CHUNK = int(_os.environ.get("ZF_DEP_CHUNK", "128"))   # deposits per window
-WINDOW = int(_os.environ.get("ZF_DEP_WINDOW", "256"))  # span budget (words)
+CHUNK = max(1, int(_os.environ.get("ZF_DEP_CHUNK", "128")))  # deposits/window
+# WINDOW rounds up to a lane multiple: _STORE = WINDOW + 128 must stay
+# 128-aligned or the kernel's aligned-base store-window assumption breaks
+WINDOW = max(128, -(-int(_os.environ.get("ZF_DEP_WINDOW", "256")) // 128) * 128)
 _STORE = WINDOW + 128  # store window: aligned base + 0..127 remainder
-GROUP = int(_os.environ.get("ZF_DEP_GROUP", "64"))    # frames per invocation
-_UNROLL = int(_os.environ.get("ZF_DEP_UNROLL", "8"))  # chunk-loop unroll
+GROUP = max(1, int(_os.environ.get("ZF_DEP_GROUP", "64")))   # frames/invocation
+_UNROLL = max(1, int(_os.environ.get("ZF_DEP_UNROLL", "8")))  # chunk unroll
+assert _STORE % 128 == 0, "store window must be 128-lane aligned"
 # Sweep notes (v5e, 1024x4096 batch): the kernel itself is ~19 ms of the
 # ~40 ms program and plateaus across CHUNK 64..512 / WINDOW 192..512 /
 # UNROLL 1..16; giving each unroll lane an independent scratch accumulator

@@ -237,6 +237,7 @@ class WavStreamReader:
     def __init__(self, f, *, _close: bool = False) -> None:
         self._f = f
         self._close = _close
+        cursor = _FileCursor(f)
         (
             self.sample_rate,
             self.bit_depth,
@@ -244,7 +245,14 @@ class WavStreamReader:
             self.bytes_per_sample,
             self.samples_count,
             self._data_len,
-        ) = _parse_header(_FileCursor(f))
+        ) = _parse_header(cursor)
+        # fail up front on a truncated data chunk (the in-memory reader
+        # does); otherwise the truncation would only surface mid-encode,
+        # after output has been partially written
+        if f.tell() + self._data_len > cursor.size:
+            if self._close:
+                f.close()
+            raise WavFormatError("IncompleteStream")
         self._remaining = self.samples_count
 
     @classmethod
