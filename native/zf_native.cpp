@@ -598,6 +598,72 @@ static const int BSIZE_CODES[16] = {-1, 192,  576,  1152, 2304, 4608, -6, -7,
 static const int DEPTH_CODES[16] = {0, -1, 8, -1, 12, -1, -1, -1,
                                     16, -1, 20, -1, 24, -1, 32, -1};
 
+struct FrameHdr {
+  int bs = 0;            // block size
+  int depth = 0;         // bit depth after streaminfo fallback
+  uint32_t ch_code = 0;
+  int64_t fn = 0;
+  bool crc8_ok = false;
+};
+
+// Parse one frame header (sync through CRC-8) at byte `pos`; `r` must be
+// freshly positioned there. Returns nullptr on success or an error string.
+static const char* parse_frame_header(BitRd& r, const uint8_t* data,
+                                      size_t pos, int sinfo_depth,
+                                      int channels, FrameHdr& h) {
+  uint32_t sync = r.read(14);
+  if (!r.ok || sync != 0x3FFE) return "bad frame sync";
+  r.read(1);
+  r.read(1);
+  uint32_t bs_code = r.read(4);
+  uint32_t sr_code = r.read(4);
+  h.ch_code = r.read(4);
+  uint32_t depth_code = r.read(4);
+  {  // UTF-8 coded frame number
+    uint32_t first = r.read(8);
+    if (first < 0x80) {
+      h.fn = first;
+    } else {
+      int ncont = 0;
+      uint32_t mask = 0x40;
+      while (first & mask) { ncont++; mask >>= 1; }
+      int64_t v = first & (mask - 1);
+      for (int i = 0; i < ncont; i++) {
+        uint32_t b = r.read(8);
+        if ((b & 0xC0) != 0x80) { r.ok = false; break; }
+        v = (v << 6) | (b & 0x3F);
+      }
+      h.fn = v;
+    }
+    if (!r.ok) return "bad UTF-8 frame number";
+  }
+  if (bs_code == 6) h.bs = (int)r.read(8) + 1;
+  else if (bs_code == 7) h.bs = (int)r.read(16) + 1;
+  else if (BSIZE_CODES[bs_code] > 0) h.bs = BSIZE_CODES[bs_code];
+  else return "reserved block size code";
+  if (sr_code == 12) r.read(8);
+  else if (sr_code == 13 || sr_code == 14) r.read(16);
+  if (!r.ok) return "truncated header";
+
+  size_t header_end = r.bitpos() >> 3;
+  uint8_t c8 = 0;
+  for (size_t i = pos; i < header_end; i++) c8 = crc8_table[c8 ^ data[i]];
+  uint32_t got8 = r.read(8);
+  h.crc8_ok = r.ok && got8 == c8;
+  h.depth = DEPTH_CODES[depth_code];
+  if (h.depth < 0) return "unsupported depth code";
+  if (h.depth == 0) h.depth = sinfo_depth;
+
+  if (h.ch_code <= 7) {
+    if ((int)h.ch_code + 1 != channels) return "channel count mismatch";
+  } else if (h.ch_code <= 10) {
+    if (channels != 2) return "stereo decorrelation on non-stereo";
+  } else {
+    return "reserved channel code";
+  }
+  return nullptr;
+}
+
 }  // namespace frameparse
 
 // parse_frames(data, start, max_frames, sinfo_depth, channels)
@@ -632,60 +698,16 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
   Py_BEGIN_ALLOW_THREADS
   while (nframes < max_frames && pos + 2 <= len) {
     BitRd r(data, len, pos * 8);
-    uint32_t sync = r.read(14);
-    if (!r.ok || sync != 0x3FFE) { err = "bad frame sync"; break; }
-    r.read(1);
-    r.read(1);
-    uint32_t bs_code = r.read(4);
-    uint32_t sr_code = r.read(4);
-    uint32_t ch_code = r.read(4);
-    uint32_t depth_code = r.read(4);
-    // UTF-8 coded frame number
-    int64_t fn;
-    {
-      uint32_t first = r.read(8);
-      if (first < 0x80) {
-        fn = first;
-      } else {
-        int ncont = 0;
-        uint32_t mask = 0x40;
-        while (first & mask) { ncont++; mask >>= 1; }
-        int64_t v = first & (mask - 1);
-        for (int i = 0; i < ncont; i++) {
-          uint32_t b = r.read(8);
-          if ((b & 0xC0) != 0x80) { r.ok = false; break; }
-          v = (v << 6) | (b & 0x3F);
-        }
-        fn = v;
-      }
-      if (!r.ok) { err = "bad UTF-8 frame number"; break; }
-    }
-    int bs;
-    if (bs_code == 6) bs = (int)r.read(8) + 1;
-    else if (bs_code == 7) bs = (int)r.read(16) + 1;
-    else if (BSIZE_CODES[bs_code] > 0) bs = BSIZE_CODES[bs_code];
-    else { err = "reserved block size code"; break; }
-    if (sr_code == 12) r.read(8);
-    else if (sr_code == 13 || sr_code == 14) r.read(16);
-    if (!r.ok) { err = "truncated header"; break; }
-    if (batch_bs < 0) batch_bs = bs;
-    else if (bs != batch_bs) break;  // tail frame: next call handles it
-
-    size_t header_end = r.bitpos() >> 3;
-    uint8_t c8 = 0;
-    for (size_t i = pos; i < header_end; i++) c8 = crc8_table[c8 ^ data[i]];
-    uint32_t got8 = r.read(8);
-    bool crc_good = r.ok && got8 == c8;
-    int depth = DEPTH_CODES[depth_code];
-    if (depth < 0) { err = "unsupported depth code"; break; }
-    if (depth == 0) depth = sinfo_depth;
-
+    FrameHdr h;
+    err = parse_frame_header(r, data, pos, sinfo_depth, channels, h);
+    if (err) break;
+    if (batch_bs < 0) batch_bs = h.bs;
+    else if (h.bs != batch_bs) { err = nullptr; break; }  // tail frame
+    bool crc_good = h.crc8_ok;
+    int depth = h.depth;
+    uint32_t ch_code = h.ch_code;
+    int64_t fn = h.fn;
     int C = channels;
-    if (ch_code <= 7) {
-      if ((int)ch_code + 1 != C) { err = "channel count mismatch"; break; }
-    } else if (ch_code <= 10) {
-      if (C != 2) { err = "stereo decorrelation on non-stereo"; break; }
-    } else { err = "reserved channel code"; break; }
 
     size_t vbase = values.size();
     values.resize(vbase + (size_t)C * batch_bs, 0);
@@ -833,9 +855,163 @@ static PyObject* py_synthesize(PyObject*, PyObject* args) {
   return out;
 }
 
+// decode_frames_pcm(data, start, max_frames, sinfo_depth, channels)
+//   -> (nframes, end_pos, block_size, pcm_bytes, crc_bad_index, maxabs)
+// Fused single-pass decode: parse + IIR synthesis + stereo recombination +
+// interleaved little-endian WAV-container PCM emission, one frame at a time
+// in cache-resident buffers. This is the all-native flac2wav hot path — it
+// replaces the parse_frames -> synthesize -> numpy-serialize pipeline (three
+// full passes over [n, C, B] int64 arrays) with one pass that only ever
+// touches the 10x smaller container-width output.
+//   pcm_bytes: [m, C] samples, stride (depth+7)/8 bytes LE, left-justified
+//     for non-byte-aligned depths, +128 offset for the 1-byte container
+//     (exactly wav.wav_pcm_bytes' layout).
+//   crc_bad_index: first frame with a CRC-8/CRC-16 mismatch, or -1.
+//   maxabs: max |sample| seen (caller guards synthesis divergence).
+static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  Py_ssize_t start, max_frames;
+  int sinfo_depth, channels;
+  if (!PyArg_ParseTuple(args, "y*nnii", &buf, &start, &max_frames,
+                        &sinfo_depth, &channels))
+    return nullptr;
+  using namespace frameparse;
+  const uint8_t* data = (const uint8_t*)buf.buf;
+  size_t len = (size_t)buf.len;
+
+  std::vector<uint8_t> pcm;
+  std::vector<int64_t> vals;   // [C * B] per-frame synthesis buffer
+  int64_t qco[8 * 32];         // up to 8 channels
+  int32_t sow[8 * 3];
+  int batch_bs = -1;
+  size_t pos = (size_t)start;
+  int nframes = 0;
+  Py_ssize_t crc_bad = -1;
+  uint64_t maxabs = 0;
+  const char* err = nullptr;
+  const int nb = (sinfo_depth + 7) / 8;
+  const int pad = 8 * nb - sinfo_depth;
+
+  Py_BEGIN_ALLOW_THREADS
+  while (nframes < max_frames && pos + 2 <= len) {
+    BitRd r(data, len, pos * 8);
+    FrameHdr h;
+    err = parse_frame_header(r, data, pos, sinfo_depth, channels, h);
+    if (err) break;
+    if (batch_bs < 0) {
+      batch_bs = h.bs;
+      vals.resize((size_t)channels * batch_bs);
+      pcm.reserve((size_t)max_frames * channels * batch_bs * nb);
+    } else if (h.bs != batch_bs) {
+      err = nullptr;
+      break;  // tail frame: next call handles it
+    }
+    const int C = channels;
+    const int B = batch_bs;
+
+    bool frame_ok = true;
+    for (int ch = 0; ch < C && frame_ok; ch++) {
+      int ss = h.depth;
+      if (h.ch_code == 8 && ch == 1) ss = h.depth + 1;   // left-side: side
+      if (h.ch_code == 9 && ch == 0) ss = h.depth + 1;   // side-right: side
+      if (h.ch_code == 10 && ch == 1) ss = h.depth + 1;  // mid-side: side
+      SubframeOut o;
+      o.values = vals.data() + (size_t)ch * B;
+      o.qcoeffs = qco + ch * 32;
+      frame_ok = parse_subframe(r, B, ss, o);
+      if (frame_ok) {
+        int32_t* s = sow + ch * 3;
+        s[0] = o.shift; s[1] = o.order; s[2] = o.wasted;
+      }
+    }
+    if (!frame_ok) { err = "bad subframe"; break; }
+    r.align_byte();
+    size_t body_end = r.bitpos() >> 3;
+    if (body_end + 2 > len) { err = "truncated frame"; break; }
+    uint16_t c16 = crc16_update(0, data + pos, body_end - pos);
+    uint32_t got16 = r.read(16);
+    bool crc_good = h.crc8_ok && r.ok && got16 == c16;
+    if (!crc_good && crc_bad < 0) crc_bad = nframes;
+
+    // in-place IIR synthesis per channel (cache-resident: C*B int64)
+    for (int ch = 0; ch < C; ch++) {
+      int64_t* o = vals.data() + (size_t)ch * B;
+      const int64_t* q = qco + ch * 32;
+      const int shift = sow[ch * 3 + 0];
+      const int order = sow[ch * 3 + 1];
+      const int wasted = sow[ch * 3 + 2];
+      for (int i = order; i < B; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; j++) pred += q[j] * o[i - 1 - j];
+        o[i] += pred >> shift;
+      }
+      if (wasted)
+        for (int i = 0; i < B; i++) o[i] <<= wasted;
+    }
+    if (C == 2 && h.ch_code >= 8) {  // stereo recombination
+      int64_t* a = vals.data();
+      int64_t* b = vals.data() + B;
+      if (h.ch_code == 8) {          // left-side -> (l, l - s)
+        for (int i = 0; i < B; i++) b[i] = a[i] - b[i];
+      } else if (h.ch_code == 9) {   // side-right -> (s + r, r)
+        for (int i = 0; i < B; i++) a[i] = a[i] + b[i];
+      } else {                       // mid-side
+        for (int i = 0; i < B; i++) {
+          int64_t mid = a[i], side = b[i];
+          int64_t left = mid + ((side + (side & 1)) >> 1);
+          a[i] = left;
+          b[i] = left - side;
+        }
+      }
+    }
+
+    // interleave + serialize to the WAV container in one pass
+    size_t obase = pcm.size();
+    pcm.resize(obase + (size_t)B * C * nb);
+    uint8_t* dst = pcm.data() + obase;
+    if (nb == 2 && pad == 0) {  // 16-bit fast path (the common case)
+      int16_t* d16 = (int16_t*)dst;
+      for (int i = 0; i < B; i++)
+        for (int ch = 0; ch < C; ch++) {
+          int64_t v = vals[(size_t)ch * B + i];
+          uint64_t a = (uint64_t)(v < 0 ? -v : v);
+          if (a > maxabs) maxabs = a;
+          d16[(size_t)i * C + ch] = (int16_t)v;
+        }
+    } else {
+      for (int i = 0; i < B; i++)
+        for (int ch = 0; ch < C; ch++) {
+          int64_t v = vals[(size_t)ch * B + i];
+          uint64_t a = (uint64_t)(v < 0 ? -v : v);
+          if (a > maxabs) maxabs = a;
+          uint64_t u = (uint64_t)(v << pad) + (nb == 1 ? 128u : 0u);
+          for (int by = 0; by < nb; by++) *dst++ = (uint8_t)(u >> (8 * by));
+        }
+    }
+
+    pos = body_end + 2;
+    nframes++;
+  }
+  Py_END_ALLOW_THREADS
+
+  if (nframes == 0 && err) {
+    PyErr_SetString(PyExc_ValueError, err);
+    PyBuffer_Release(&buf);
+    return nullptr;
+  }
+  PyBuffer_Release(&buf);
+  PyObject* pb = PyBytes_FromStringAndSize((const char*)pcm.data(),
+                                           (Py_ssize_t)pcm.size());
+  return Py_BuildValue("(nnnNnK)", (Py_ssize_t)nframes, (Py_ssize_t)pos,
+                       (Py_ssize_t)(batch_bs < 0 ? 0 : batch_bs), pb,
+                       crc_bad, (unsigned long long)maxabs);
+}
+
 static PyMethodDef methods[] = {
     {"parse_frames", py_parse_frames, METH_VARARGS,
      "batch-parse FLAC frames into device-synthesis form"},
+    {"decode_frames_pcm", py_decode_frames_pcm, METH_VARARGS,
+     "fused parse+synthesize+serialize to interleaved WAV-container PCM"},
     {"synthesize", py_synthesize, METH_VARARGS,
      "host IIR synthesis + stereo recombination (all-native decode)"},
     {"assemble_ranges", py_assemble_ranges, METH_VARARGS,

@@ -155,3 +155,38 @@ def test_decode_file_streaming(tmp_path, rng):
 
     with _pytest.raises(FlacDecodeError):
         decode_file(str(bp), str(tmp_path / "y.wav"), verify=True)
+
+
+def test_decode_range_backend_parity(rng):
+    """decode_range rides the native batch parser by default; every backend
+    must return identical samples (and the batch cap must not truncate)."""
+    from zigflac_tpu.decoder import decode_range
+
+    block = 256
+    sig = make_signal(rng, block * 7 + 10, depth=16, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, sig, 44100, 16)
+    cfg = EncoderConfig(block_size=block, channels="stereo_auto")
+    flac = encode_wav_bytes(buf.getvalue(), config=cfg, backend="golden")
+    full = decode_flac(flac).samples
+    for start, n in [(0, 64), (block * 2 + 3, block * 3), (block * 6, block + 10)]:
+        ref = full[:, start : start + n]
+        for backend in ("native", "device", "host"):
+            got = decode_range(flac, start, n, backend=backend)
+            np.testing.assert_array_equal(got, ref, err_msg=backend)
+
+
+def test_fused_decode_crc_detection(rng, tmp_path):
+    """The fused native decode path (decode_frames_pcm) reports frame CRC
+    corruption through decode_file just like the scalar path."""
+    from zigflac_tpu.decoder import FlacDecodeError, decode_file
+
+    flac = bytearray(_flac(rng, 256 * 3))
+    fp = tmp_path / "ok.flac"
+    fp.write_bytes(bytes(flac))
+    decode_file(str(fp), str(tmp_path / "ok.wav"), backend="native")
+    flac[len(flac) - 30] ^= 0x10  # corrupt inside the last frame body
+    bp = tmp_path / "bad.flac"
+    bp.write_bytes(bytes(flac))
+    with pytest.raises(FlacDecodeError):
+        decode_file(str(bp), str(tmp_path / "bad.wav"), backend="native")

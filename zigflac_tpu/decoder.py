@@ -325,7 +325,7 @@ _BATCH_FRAMES = 512
 
 def _decode_batch(
     data: bytes, pos: int, info: StreamInfo, check_crc: bool,
-    synth: str = "device",
+    synth: str = "device", max_frames: int = _BATCH_FRAMES,
 ):
     """Native parse + batched synthesis for up to _BATCH_FRAMES consecutive
     frames sharing one block size. Returns (samples [C, m] int64, n_frames,
@@ -340,7 +340,7 @@ def _decode_batch(
     C = info.channels
     try:
         (n, end, B, vb, qb, sb, cb, fb, kb) = _n.parse_frames(
-            data, pos, _BATCH_FRAMES, info.bit_depth, C
+            data, pos, max_frames, info.bit_depth, C
         )
     except ValueError as e:
         raise FlacDecodeError(str(e)) from e
@@ -484,12 +484,14 @@ def decode_file(
     from .wav import reconstruct_raw_bytes, wav_header_bytes, wav_pcm_bytes
 
     backend = _resolve_backend(backend)
+    fused = backend == "native" and hasattr(_native._n, "decode_frames_pcm")
     with open(input_path, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         try:
             info, _vendor, _tags, _seek, pos = _parse_metadata(mm)
             md5 = _native.Md5Stream() if verify else None
             total = 0
+            nb = (info.bit_depth + 7) // 8
             with open(output_path, "wb") as out:
                 out.write(
                     wav_header_bytes(
@@ -498,6 +500,50 @@ def decode_file(
                     )
                 )
                 while total < info.interchannel_samples and pos < len(mm):
+                    if fused:
+                        # single native pass: parse + synthesis + container
+                        # serialization (the PCM bytes come out ready to
+                        # write, and — for multi-byte containers — ready to
+                        # MD5: reconstruct_raw_bytes == wav_pcm_bytes there)
+                        nfr, pos, _B, pcm, bad, maxabs = (
+                            _native._n.decode_frames_pcm(
+                                mm, pos, _BATCH_FRAMES, info.bit_depth,
+                                info.channels,
+                            )
+                        )
+                        if nfr == 0:
+                            break
+                        if check_crc and bad >= 0:
+                            raise FlacDecodeError(
+                                f"frame CRC mismatch (frame {bad} of batch)"
+                            )
+                        if maxabs >= 1 << 40:
+                            raise FlacDecodeError(
+                                "synthesis diverged — corrupt stream"
+                            )
+                        m = len(pcm) // (info.channels * nb)
+                        total += m
+                        if total > info.interchannel_samples:
+                            cut = (total - info.interchannel_samples) * (
+                                info.channels * nb
+                            )
+                            pcm = pcm[: len(pcm) - cut]
+                            total = info.interchannel_samples
+                        out.write(pcm)
+                        if md5 is not None and info.bit_depth >= 8:
+                            if nb == 1:
+                                # 1-byte container: MD5 covers byte-1 (the
+                                # reference read quirk), the WAV container
+                                # is byte+128 -> rebias by -127
+                                md5.update(
+                                    (
+                                        np.frombuffer(pcm, np.uint8)
+                                        - np.uint8(127)
+                                    ).tobytes()
+                                )
+                            else:
+                                md5.update(pcm)
+                        continue
                     if backend in ("device", "native"):
                         samples, nfr, pos = _decode_batch(
                             mm, pos, info, check_crc, synth=backend
@@ -542,7 +588,8 @@ def decode_file(
 
 
 def decode_range(
-    data: bytes, start_sample: int, n_samples: int, check_crc: bool = True
+    data: bytes, start_sample: int, n_samples: int, check_crc: bool = True,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Random-access decode: ``[channels, n_samples]`` starting at
     ``start_sample``, using the SEEKTABLE (when present) to skip ahead —
@@ -552,7 +599,10 @@ def decode_range(
     (metadata.build_seekpoints); without a SEEKTABLE decoding starts at the
     first frame. Frames before the target that the nearest seek point cannot
     skip are decoded and discarded (FLAC frames are independent, so this is
-    exact)."""
+    exact). Frames ride the native batch parser (the fast path) unless
+    ``backend="host"`` forces the scalar reference decoder; batch sizes are
+    capped near the range so little work happens past its end."""
+    backend = _resolve_backend(backend)
     info, _vendor, _tags, seektable, pos = _parse_metadata(data)
     if start_sample < 0 or start_sample + n_samples > info.interchannel_samples:
         raise FlacDecodeError("requested range outside the stream")
@@ -568,8 +618,20 @@ def decode_range(
 
     out: List[np.ndarray] = []
     got = 0
+    block_hint = info.max_block_size or 4096
     while got < n_samples and pos < len(data):
-        samples, _fn, pos = decode_frame(data, pos, info, check_crc)
+        if backend in ("device", "native"):
+            # bound the batch to the frames the range can still need
+            need = start_sample + n_samples - cur_sample
+            maxf = min(_BATCH_FRAMES, -(-need // max(block_hint, 1)) + 1)
+            samples, nfr, pos = _decode_batch(
+                data, pos, info, check_crc, synth=backend, max_frames=maxf
+            )
+            if nfr == 0:
+                break
+            block_hint = samples.shape[1] // nfr
+        else:
+            samples, _fn, pos = decode_frame(data, pos, info, check_crc)
         bs = samples.shape[1]
         if cur_sample + bs <= start_sample:
             cur_sample += bs
