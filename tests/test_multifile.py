@@ -97,3 +97,61 @@ def test_cli_batch_mode(tmp_path, rng):
         assert got == expect, f"f{i}"
     # non-directory input -> exit 1
     assert main(["--batch", str(indir / "f0.wav"), str(outdir)]) == 1
+
+
+def test_encode_files_streaming_paths(tmp_path, rng):
+    """encode_files (the file-to-file streaming form) is byte-identical to
+    per-file encode_file for every file, including device tails."""
+    from zigflac_tpu.models.encoder import encode_file, encode_files
+    from zigflac_tpu.utils.config import EncoderConfig
+
+    cfg = EncoderConfig(block_size=256, channels="stereo_auto")
+    sigs = [
+        make_signal(rng, 256 * 3 + 100, 2, 16, "mixed"),   # device tail
+        make_signal(rng, 256 * 2, 2, 16, "sine"),           # no tail
+        make_signal(rng, 256 + 30, 2, 16, "ramp"),          # host tail (<64)
+        make_signal(rng, 100, 2, 16, "quiet_noise"),        # tail only
+    ]
+    ins, outs, refs = [], [], []
+    for i, s in enumerate(sigs):
+        ip = tmp_path / f"in{i}.wav"
+        write_wav(str(ip), s, 44100, 16)
+        ins.append(str(ip))
+        outs.append(str(tmp_path / f"out{i}.flac"))
+        rp = tmp_path / f"ref{i}.flac"
+        encode_file(str(ip), str(rp), config=cfg, backend="device")
+        refs.append(rp.read_bytes())
+    infos = encode_files(ins, outs, config=cfg, backend="device")
+    for i, (op, ref) in enumerate(zip(outs, refs)):
+        got = open(op, "rb").read()
+        assert got == ref, f"file {i} differs from encode_file"
+        assert infos[i].md5 == decode_flac(got).info.md5
+
+
+def test_encode_files_tiny_batches_cross_files(tmp_path, rng):
+    """frames_per_chunk smaller than any file forces fused batches that
+    cross file boundaries AND files that span several batches; tails must
+    still land after their file's full frames."""
+    from zigflac_tpu.models.encoder import encode_files
+    from zigflac_tpu.utils.config import EncoderConfig
+
+    cfg = EncoderConfig(block_size=256, channels="stereo_auto")
+    sigs = [
+        make_signal(rng, 256 * 7 + 90, 2, 16, "mixed"),
+        make_signal(rng, 256 * 3, 2, 16, "sine"),
+        make_signal(rng, 256 * 9 + 70, 2, 16, "quiet_noise"),
+        make_signal(rng, 256 * 1 + 65, 2, 16, "ramp"),
+    ]
+    ins, outs = [], []
+    for i, s in enumerate(sigs):
+        ip = tmp_path / f"t{i}.wav"
+        write_wav(str(ip), s, 44100, 16)
+        ins.append(str(ip))
+        outs.append(str(tmp_path / f"t{i}.flac"))
+    encode_files(ins, outs, config=cfg, backend="device", frames_per_chunk=4)
+    singles = [
+        encode_wav_bytes(open(p, "rb").read(), config=cfg, backend="device")
+        for p in ins
+    ]
+    for i, (op, ref) in enumerate(zip(outs, singles)):
+        assert open(op, "rb").read() == ref, f"file {i}"

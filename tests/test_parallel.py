@@ -9,8 +9,7 @@ import pytest
 
 from zigflac_tpu.metadata import StreamInfo
 from zigflac_tpu.models.pipeline import DevicePipeline
-from zigflac_tpu.native import assemble_frames
-from zigflac_tpu.parallel.mesh import default_mesh, encode_step_sharded
+from zigflac_tpu.parallel.mesh import default_mesh, encode_compact_sharded
 from zigflac_tpu.utils.config import EncoderConfig
 
 from conftest import make_signal
@@ -24,6 +23,9 @@ def mesh():
 
 
 def test_sharded_matches_single(rng, mesh):
+    """The production SPMD program (encode_compact_sharded) produces frame
+    bytes identical to the single-device pipeline, with per-shard metadata
+    rows and the global-overflow collective all agreeing."""
     B = 256
     ndev = mesh.devices.size
     nf = 2 * ndev
@@ -32,29 +34,85 @@ def test_sharded_matches_single(rng, mesh):
     frames = samples.reshape(2, nf, B).transpose(1, 0, 2)
     info = StreamInfo(44100, 2, 16, nf * B, B, B)
 
-    words, total_bits, crcs, gmin, gmax = encode_step_sharded(
+    stream, meta, frame_cap = encode_compact_sharded(
         jnp.asarray(frames),
         jnp.asarray(np.arange(nf, dtype=np.int64)),
         cfg,
         depth=16,
         sample_rate=44100,
+        tier=0,
+        deposit="segsum",
         mesh=mesh,
     )
-    byte_len = (np.asarray(total_bits) + 7) // 8
-    stream = assemble_frames(np.asarray(words), byte_len, np.asarray(crcs))
-    sharded = []
-    pos = 0
-    for L in (byte_len + 2).tolist():
-        sharded.append(stream[pos : pos + int(L)])
-        pos += int(L)
+    meta_np = np.asarray(meta)
+    per_shard = meta_np.shape[1] - 3
+    assert meta_np.shape[0] == ndev and per_shard == nf // ndev
+    assert (meta_np[:, -2] == 0).all() and (meta_np[:, -1] == 0).all()
 
-    pipe = DevicePipeline(cfg, 16, batch_size=nf)
-    single = pipe.encode_frames(frames, 0, info)
-    assert sharded == single
+    from zigflac_tpu.models.pipeline import _collect_aligned
 
-    sizes = np.array([len(b) for b in single])
-    assert int(gmin) == sizes.min()
-    assert int(gmax) == sizes.max()
+    sharded = b""
+    sizes = []
+    for s in range(ndev):
+        got = _collect_aligned((stream[s], meta[s, :-1]), per_shard, frame_cap)
+        assert got is not None
+        sharded += got[0]
+        sizes.extend(got[1].tolist())
+
+    import os
+
+    os.environ["ZIGFLAC_MESH"] = "0"
+    try:
+        pipe = DevicePipeline(cfg, 16, batch_size=nf)
+        assert pipe._mesh is None
+        single = pipe.encode_frames(frames, 0, info)
+    finally:
+        del os.environ["ZIGFLAC_MESH"]
+    assert sharded == b"".join(single)
+    assert sizes == [len(b) for b in single]
+
+
+def test_sharded_overflow_stays_sharded(rng, mesh):
+    """Incompressible (tier-1) content on the mesh path: overflowing shards
+    re-encode through the capacity ladder individually — the batch is never
+    de-sharded — and bytes still match golden exactly."""
+    import io
+
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+    from zigflac_tpu.models import pipeline as pl
+    from zigflac_tpu.wav import write_wav
+
+    B = 256
+    cfg = EncoderConfig(block_size=B, channels="stereo_auto")
+    nf = 2 * mesh.devices.size
+    # full-scale noise: every frame needs verbatim subframes, which
+    # out-size the tier-0 compact stream budget on every shard
+    samples = make_signal(rng, nf * B, channels=2, depth=16, kind="noise")
+    buf = io.BytesIO()
+    write_wav(buf, samples.astype(np.int32), 44100, 16)
+    wav_bytes = buf.getvalue()
+
+    calls = []
+    real_overflow = pl.DevicePipeline._encode_overflow
+
+    def spy(self, chunk, nreal, fns, c, Bv, info, pre_j=()):
+        calls.append(chunk.shape[0])
+        return real_overflow(self, chunk, nreal, fns, c, Bv, info, pre_j)
+
+    pipe = pl.DevicePipeline(cfg, 16)
+    assert pipe._mesh is not None
+    per_shard_max = -(-nf // pipe._mesh.devices.size)
+    try:
+        pl.DevicePipeline._encode_overflow = spy
+        sharded = encode_wav_bytes(wav_bytes, config=cfg, backend="device")
+    finally:
+        pl.DevicePipeline._encode_overflow = real_overflow
+    golden = encode_wav_bytes(wav_bytes, config=cfg, backend="golden")
+    assert sharded == golden
+    assert calls, "tier-1 content should have tripped the ladder"
+    assert all(n <= per_shard_max for n in calls), (
+        f"overflow re-encode de-sharded the batch: {calls}"
+    )
 
 
 def test_graft_entry_compiles(mesh):

@@ -136,12 +136,12 @@ def _decode_main(args) -> int:
 
 def _batch_main(args, cfg_kwargs) -> int:
     """Multi-file encode (BASELINE config 4): every .wav under the input
-    directory encodes with frames fused into shared device batches
-    (encode_wav_bytes_many), writing <name>.flac files to the output
-    directory."""
+    directory streams into <name>.flac in the output directory, with frames
+    of same-format files fused into shared device batches (encode_files —
+    host memory stays O(device batch) however many files there are)."""
     import os
 
-    from .models.encoder import encode_wav_bytes_many
+    from .models.encoder import encode_files
     from .wav import WavFormatError
 
     if not os.path.isdir(args.input):
@@ -155,14 +155,15 @@ def _batch_main(args, cfg_kwargs) -> int:
         print(f"error: no .wav files in {args.input}", file=sys.stderr)
         return 1
     os.makedirs(args.output, exist_ok=True)
-    blobs = []
-    for f in names:
-        with open(os.path.join(args.input, f), "rb") as fh:
-            blobs.append(fh.read())
+    in_paths = [os.path.join(args.input, f) for f in names]
+    out_paths = [
+        os.path.join(args.output, os.path.splitext(f)[0] + ".flac")
+        for f in names
+    ]
     t0 = time.perf_counter()
     try:
-        outs = encode_wav_bytes_many(
-            blobs,
+        encode_files(
+            in_paths, out_paths,
             config=EncoderConfig(channels="stereo_auto", **cfg_kwargs),
             backend=args.backend,
         )
@@ -171,17 +172,16 @@ def _batch_main(args, cfg_kwargs) -> int:
               file=sys.stderr)
         return 2
     dt = time.perf_counter() - t0
-    total_in = sum(len(b) for b in blobs)
-    total_out = 0
-    for f, flac in zip(names, outs):
-        out_path = os.path.join(args.output, os.path.splitext(f)[0] + ".flac")
-        with open(out_path, "wb") as fh:
-            fh.write(flac)
-        total_out += len(flac)
+    total_in = sum(os.path.getsize(p) for p in in_paths)
+    total_out = sum(os.path.getsize(p) for p in out_paths)
     if args.verify:
         from .decoder import verify_flac
 
-        bad = [f for f, flac in zip(names, outs) if not verify_flac(flac)]
+        bad = []
+        for f, p in zip(names, out_paths):
+            with open(p, "rb") as fh:
+                if not verify_flac(fh.read()):
+                    bad.append(f)
         if bad:
             print(f"verify: FAILED ({', '.join(bad)})", file=sys.stderr)
             return 3

@@ -255,101 +255,350 @@ def _device_available() -> bool:
 _reconstruct_raw_bytes = reconstruct_raw_bytes
 
 
-def encode_wav_bytes_many(
-    wav_bytes_list: List[bytes],
+class _FileJob:
+    """Per-file bookkeeping for the fused multi-file encode: the output
+    stream (placeholder header already written), incremental MD5, collected
+    frame sizes, and the outstanding-dispatch counter that gates the closing
+    seek-back."""
+
+    __slots__ = (
+        "info", "out", "md5", "sizes", "frame_no", "reading_done",
+        "queued", "inflight", "host_tail", "finalized",
+    )
+
+    def __init__(self, info: StreamInfo, out) -> None:
+        self.info = info
+        self.out = out
+        self.md5 = native.Md5Stream()
+        self.sizes: List[np.ndarray] = []
+        self.frame_no = 0
+        self.reading_done = False
+        self.queued = 0    # accumulator runs + tails not yet dispatched
+        self.inflight = 0  # dispatched segments not yet collected
+        self.host_tail: Optional[bytes] = None
+        self.finalized = False
+
+    def finalize_if_done(self) -> None:
+        if (
+            self.finalized or not self.reading_done
+            or self.queued or self.inflight
+        ):
+            return
+        if self.host_tail is not None:
+            self.out.write(self.host_tail)
+            self.sizes.append(np.array([len(self.host_tail)], np.int64))
+        all_sizes = (
+            np.concatenate(self.sizes) if self.sizes else np.zeros(0, np.int64)
+        )
+        self.info.update_frame_sizes(all_sizes)
+        self.info.md5 = self.md5.digest()
+        from ..metadata import HEADER_SIZE
+
+        self.out.flush()
+        self.out.seek(0)
+        self.out.write(streaminfo_block(self.info, is_last=False)[:HEADER_SIZE])
+        self.out.flush()
+        self.finalized = True
+
+
+def _encode_group_fused(
+    idxs: List[int],
+    open_in,
+    open_out,
+    infos: List[Optional[StreamInfo]],
+    cfg: EncoderConfig,
+    enc: "Encoder",
+    frames_per_chunk: Optional[int],
+) -> None:
+    """Device-backend core of the multi-file encode: stream every file in
+    ``idxs`` through one shared pipeline, fusing full frames across file
+    boundaries into device batches (per-file frame numbering preserved).
+    Host memory stays O(device batch): one input file is open at a time,
+    at most ``window`` batches are in flight, and each file's output
+    finalizes (seek-back STREAMINFO) as soon as its last frame collects."""
+    from collections import deque
+
+    from ..metadata import HEADER_SIZE
+    from ..wav import WavStreamReader
+
+    pipe = enc._device_pipeline()
+    block = cfg.block_size
+    bs = frames_per_chunk or pipe.batch_size
+    window = 2  # in-flight batches (matches encode_file_streaming)
+
+    jobs: dict = {}
+    pending: deque = deque()  # (rec, segments); segment = (file_idx, nframes)
+    acc: List[np.ndarray] = []  # [k, C, B] pieces
+    acc_fns: List[np.ndarray] = []
+    acc_owners: List[tuple] = []
+    acc_n = 0
+    tails_after: List[tuple] = []  # (file_idx, samples [C, rem], frame_no)
+    group_rate = None
+
+    def drain_one() -> None:
+        rec, segments = pending.popleft()
+        stream, sizes = pipe.collect_batch(rec, jobs[segments[0][0]].info)
+        pos_b = 0
+        pos_f = 0
+        for fi, cnt in segments:
+            job = jobs[fi]
+            fsz = sizes[pos_f : pos_f + cnt]
+            nb = int(fsz.sum())
+            job.out.write(stream[pos_b : pos_b + nb])
+            job.sizes.append(fsz)
+            job.inflight -= 1
+            pos_b += nb
+            pos_f += cnt
+            job.finalize_if_done()
+
+    def flush() -> None:
+        nonlocal acc_n
+        if acc_n:
+            fused = np.concatenate(acc, axis=0) if len(acc) > 1 else acc[0]
+            fns = (
+                np.concatenate(acc_fns) if len(acc_fns) > 1 else acc_fns[0]
+            )
+            # merge adjacent runs of the same file into one segment
+            segments: List[List] = []
+            for fi, cnt in acc_owners:
+                jobs[fi].queued -= 1
+                if segments and segments[-1][0] == fi:
+                    segments[-1][1] += cnt
+                else:
+                    segments.append([fi, cnt])
+                    jobs[fi].inflight += 1
+            rec = pipe.dispatch_batch(
+                fused, fns, jobs[segments[0][0]].info
+            )
+            pending.append((rec, [tuple(s) for s in segments]))
+            acc.clear()
+            acc_fns.clear()
+            acc_owners.clear()
+            acc_n = 0
+        for fi, tail, tfn in tails_after:
+            jobs[fi].queued -= 1
+            jobs[fi].inflight += 1
+            trec = pipe.dispatch_tail(tail, tfn, jobs[fi].info)
+            pending.append((trec, [(fi, 1)]))
+        tails_after.clear()
+        while len(pending) > window:
+            drain_one()
+
+    for i in idxs:
+        with WavStreamReader(open_in(i), _close=True) as wav:
+            info = wav.flac_streaminfo(block)
+            infos[i] = info
+            out = open_out(i)
+            out.write(b"\x00" * HEADER_SIZE)
+            out.write(vorbis_comment_block(is_last=True))
+            job = _FileJob(info, out)
+            jobs[i] = job
+            c = wav.channels
+            while True:
+                raw, planar = wav.read_samples(bs * block)
+                if planar.shape[1] == 0:
+                    break
+                job.md5.update(raw)
+                m = planar.shape[1]
+                n_full = m // block
+                rem = m - n_full * block
+                taken = 0
+                while taken < n_full:
+                    take = min(bs - acc_n, n_full - taken)
+                    piece = (
+                        planar[:, taken * block : (taken + take) * block]
+                        .reshape(c, take, block)
+                        .transpose(1, 0, 2)
+                    )
+                    acc.append(piece)
+                    acc_fns.append(
+                        job.frame_no + np.arange(take, dtype=np.int64)
+                    )
+                    acc_owners.append((i, take))
+                    job.queued += 1
+                    acc_n += take
+                    job.frame_no += take
+                    taken += take
+                    if acc_n == bs:
+                        flush()
+                if rem:  # only on the final chunk of the file
+                    tail = planar[:, n_full * block :]
+                    if _tail_on_device(rem):
+                        # queued until the accumulator batch holding this
+                        # file's last full frames has been dispatched, so
+                        # per-file byte order is preserved
+                        tails_after.append((i, tail.copy(), job.frame_no))
+                        job.queued += 1
+                    else:
+                        planes = [tail[ch] for ch in range(c)]
+                        job.host_tail = enc.encode_frame(
+                            planes, job.frame_no, info
+                        )
+                    job.frame_no += 1
+            job.reading_done = True
+            job.finalize_if_done()  # zero-frame files complete immediately
+    flush()
+    while pending:
+        drain_one()
+    for job in jobs.values():
+        job.finalize_if_done()
+        assert job.finalized, "multi-file pipeline left a job unfinalized"
+
+
+def encode_files(
+    in_paths: List[str],
+    out_paths: List[str],
     config: Optional[EncoderConfig] = None,
     backend: str = "auto",
-) -> List[bytes]:
-    """Batched multi-file encode (BASELINE config 4): full frames from all
-    same-format files are fused into one device frame batch (per-file frame
-    numbering preserved), so the Rice parameter / partition sweeps and bit
-    packing amortize across files. Files are grouped by
-    (rate, depth, channels); ragged tail frames go through the golden path.
-    """
-    parsed = [WavReader.from_bytes(b) for b in wav_bytes_list]
-    results: List[Optional[bytes]] = [None] * len(parsed)
+    frames_per_chunk: Optional[int] = None,
+) -> List[StreamInfo]:
+    """Streaming multi-file wav2flac (BASELINE config 4): every input
+    encodes to its output path with full frames from same-format files
+    fused into shared device batches, so the Rice/partition sweeps and bit
+    packing amortize across files. Files group by (rate, depth, channels);
+    host memory stays O(device batch) across any number of files (one input
+    open at a time, bounded in-flight window, outputs finalized as their
+    last frames collect). Ragged tails >= TAIL_DEVICE_MIN encode on device
+    like the single-file path; smaller tails ride the golden oracle.
 
-    groups = {}
-    for i, wav in enumerate(parsed):
-        groups.setdefault(
-            (wav.sample_rate, wav.bit_depth, wav.channels), []
-        ).append(i)
+    Byte-identical per file to ``encode_file`` / ``encode_wav_bytes`` with
+    default metadata (two-pass STREAMINFO + empty VorbisComment)."""
+    return _encode_files_core(
+        in_paths,
+        lambda i: open(in_paths[i], "rb"),
+        lambda i: open(out_paths[i], "wb"),
+        close_out=True,
+        config=config,
+        backend=backend,
+        frames_per_chunk=frames_per_chunk,
+    )
 
+
+def _encode_files_core(
+    keys_source,
+    open_in,
+    open_out,
+    close_out: bool,
+    config: Optional[EncoderConfig],
+    backend: str,
+    frames_per_chunk: Optional[int],
+) -> List[StreamInfo]:
+    from dataclasses import replace
+
+    from ..wav import WavStreamReader
+
+    n = len(keys_source)
+    groups: dict = {}
+    for i in range(n):
+        with WavStreamReader(open_in(i), _close=True) as probe:
+            key = (probe.sample_rate, probe.bit_depth, probe.channels)
+        groups.setdefault(key, []).append(i)
+
+    infos: List[Optional[StreamInfo]] = [None] * n
     for (rate, depth, channels), idxs in groups.items():
         if config is None:
             cfg = EncoderConfig.default(channels)
         else:
             # adapt the channel mode to each format group: a shared config
             # can't force stereo_auto onto mono files or vice versa
-            from dataclasses import replace
-
             cfg = replace(
                 config,
                 channels="stereo_auto" if channels == 2 else channels,
             )
-        block = cfg.block_size
         enc = Encoder(cfg, depth, backend=backend)
+        if enc.backend == "device":
+            outs = {}
 
-        batches = []
-        fnums = []
-        meta = []  # (idx, info, samples, n_full, rem)
-        for i in idxs:
-            wav = parsed[i]
-            info = wav.flac_streaminfo(block)
-            samples = wav.planar_samples()
-            c, n = samples.shape
-            n_full = n // block
-            rem = n - n_full * block
-            if n_full:
-                batches.append(
-                    samples[:, : n_full * block]
-                    .reshape(c, n_full, block)
-                    .transpose(1, 0, 2)
+            def open_out_tracked(i):
+                outs[i] = open_out(i)
+                return outs[i]
+
+            try:
+                _encode_group_fused(
+                    idxs, open_in, open_out_tracked, infos, cfg, enc,
+                    frames_per_chunk,
                 )
-                fnums.append(np.arange(n_full, dtype=np.int64))
-            meta.append((i, info, samples, wav, n_full, rem))
-
-        if batches and enc.backend == "device":
-            allframes = np.concatenate(batches, axis=0)
-            allfns = np.concatenate(fnums)
-            stream, sizes = enc._device_pipeline().encode_frames_stream(
-                allframes, 0, meta[0][1], frame_numbers=allfns
-            )
+            finally:
+                if close_out:
+                    for f in outs.values():
+                        f.close()
         else:
-            stream, sizes = b"", np.zeros(0, np.int64)
-            if batches:
-                parts = []
-                szs = []
-                for (i, info, samples, wav, n_full, rem), batch in zip(
-                    (m for m in meta if m[4]), batches
-                ):
-                    fr = enc.encode_frames_batch(batch, 0, info)
-                    parts.append(b"".join(fr))
-                    szs.append(np.array([len(x) for x in fr], np.int64))
-                stream = b"".join(parts)
-                sizes = np.concatenate(szs)
+            # golden backend: per-file streaming (nothing to fuse — every
+            # frame is a host loop iteration either way)
+            for i in idxs:
+                out = open_out(i)
+                try:
+                    with WavStreamReader(open_in(i), _close=True) as wav:
+                        infos[i] = _encode_stream_to_file(wav, out, cfg, enc)
+                finally:
+                    if close_out:
+                        out.close()
+    return infos  # type: ignore[return-value]
 
-        pos_bytes = 0
-        pos_frames = 0
-        for i, info, samples, wav, n_full, rem in meta:
-            fsz = sizes[pos_frames : pos_frames + n_full]
-            nb = int(fsz.sum())
-            body = stream[pos_bytes : pos_bytes + nb]
-            pos_bytes += nb
-            pos_frames += n_full
-            if rem:
-                planes = [samples[ch, n_full * block :] for ch in range(samples.shape[0])]
-                last = enc.encode_frame(planes, n_full, info)
-                body += last
-                fsz = np.concatenate([fsz, [len(last)]])
-            info.update_frame_sizes(fsz)
-            info.md5 = native.md5(bytes(wav.raw_pcm_bytes()))
-            results[i] = (
-                streaminfo_block(info, is_last=False)
-                + vorbis_comment_block(is_last=True)
-                + body
-            )
-    return results  # type: ignore[return-value]
+
+def _encode_stream_to_file(wav, out, cfg: EncoderConfig, enc: "Encoder"):
+    """Golden-backend single-file body for the multi-file path: placeholder
+    header + frames + seek-back, O(chunk) memory."""
+    from ..metadata import HEADER_SIZE
+
+    info = wav.flac_streaminfo(cfg.block_size)
+    block = cfg.block_size
+    out.write(b"\x00" * HEADER_SIZE)
+    out.write(vorbis_comment_block(is_last=True))
+    md5 = native.Md5Stream()
+    sizes: List[int] = []
+    frame_no = 0
+    while True:
+        raw, planar = wav.read_samples(1024 * block)
+        if planar.shape[1] == 0:
+            break
+        md5.update(raw)
+        c, m = planar.shape
+        n_full = m // block
+        for k in range(n_full):
+            planes = [planar[ch, k * block : (k + 1) * block] for ch in range(c)]
+            fb = enc.encode_frame(planes, frame_no, info)
+            out.write(fb)
+            sizes.append(len(fb))
+            frame_no += 1
+        rem = m - n_full * block
+        if rem:
+            planes = [planar[ch, n_full * block :] for ch in range(c)]
+            fb = enc.encode_frame(planes, frame_no, info)
+            out.write(fb)
+            sizes.append(len(fb))
+            frame_no += 1
+    info.update_frame_sizes(np.array(sizes, np.int64))
+    info.md5 = md5.digest()
+    out.flush()
+    out.seek(0)
+    out.write(streaminfo_block(info, is_last=False)[:HEADER_SIZE])
+    out.flush()
+    return info
+
+
+def encode_wav_bytes_many(
+    wav_bytes_list: List[bytes],
+    config: Optional[EncoderConfig] = None,
+    backend: str = "auto",
+) -> List[bytes]:
+    """Batched multi-file encode over in-memory WAV blobs (BASELINE
+    config 4): the bytes-in/bytes-out convenience wrapper around the
+    streaming fused core (``encode_files`` is the file-to-file form with
+    O(device batch) host memory)."""
+    import io
+
+    sinks = [io.BytesIO() for _ in wav_bytes_list]
+    _encode_files_core(
+        wav_bytes_list,
+        lambda i: io.BytesIO(wav_bytes_list[i]),
+        lambda i: sinks[i],
+        close_out=False,
+        config=config,
+        backend=backend,
+        frames_per_chunk=None,
+    )
+    return [s.getvalue() for s in sinks]
 
 
 def encode_wav_bytes(

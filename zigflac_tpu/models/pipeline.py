@@ -316,41 +316,52 @@ class DevicePipeline:
 
     def collect_batch(self, pending: dict, info) -> Tuple[bytes, np.ndarray]:
         """Fetch one dispatched batch's frame bytes + sizes, re-encoding
-        through the capacity ladder on overflow."""
+        through the capacity ladder on overflow. Sharded outputs carry one
+        compact stream per mesh device (rows, in frame order); each row
+        collects exactly like a single-device batch, and ONLY overflowing
+        shards re-encode through the ladder — the rest of the mesh's
+        results stand (pathological content on one chip does not de-shard
+        the batch)."""
         if "out" not in pending:  # deferred LPC main dispatch (newest batch)
             # identity-based removal: dict == on array values is ambiguous
             self._lpc_deferred = [
                 r for r in self._lpc_deferred if r is not pending
             ]
             self._dispatch_main(pending)
-        got = self._collect(pending["out"], pending["nreal"],
-                            pending["frame_cap"])
-        if got is None:
-            got = self._encode_overflow(
-                pending["chunk"], pending["nreal"], pending["fns"],
-                pending["chunk"].shape[1], pending["B"], info,
-                pending["pre_j"],
-            )
-        return got
-
-    def _collect(self, out, nreal: int, frame_cap: int):
-        """Fetch one dispatched batch. Sharded outputs carry one compact
-        stream per mesh device (rows, in frame order); each row collects
-        exactly like a single-device batch. None on any capacity overflow
-        (the whole batch then re-encodes through the ladder)."""
-        stream, meta = out
+        stream, meta = pending["out"]
+        nreal = pending["nreal"]
+        frame_cap = pending["frame_cap"]
         if meta.ndim == 1:
-            return _collect_aligned(out, nreal, frame_cap)
-        per_shard = meta.shape[1] - 2
+            got = _collect_aligned(pending["out"], nreal, frame_cap)
+            if got is None:
+                got = self._encode_overflow(
+                    pending["chunk"], nreal, pending["fns"],
+                    pending["chunk"].shape[1], pending["B"], info,
+                    pending["pre_j"],
+                )
+            return got
+        # sharded: meta rows are [sizes..., total_words, ovf_local, ovf_any]
+        per_shard = meta.shape[1] - 3
         parts: List[bytes] = []
         szs: List[np.ndarray] = []
         for s in range(meta.shape[0]):
             local_real = min(per_shard, nreal - s * per_shard)
             if local_real <= 0:
                 break
-            got = _collect_aligned((stream[s], meta[s]), local_real, frame_cap)
-            if got is None:
-                return None
+            got = _collect_aligned(
+                (stream[s], meta[s, :-1]), local_real, frame_cap
+            )
+            if got is None:  # this shard's rows only, through the ladder
+                lo = s * per_shard
+                rows = pending["chunk"][lo : lo + per_shard]
+                fns = pending["fns"][lo : lo + per_shard]
+                pre_j = tuple(
+                    x[lo : lo + per_shard] for x in pending["pre_j"]
+                )
+                got = self._encode_overflow(
+                    rows, local_real, fns, rows.shape[1], pending["B"],
+                    info, pre_j,
+                )
             parts.append(got[0])
             szs.append(got[1])
         return b"".join(parts), np.concatenate(szs)

@@ -3,13 +3,17 @@
 The reference is single-threaded with no communication backend (SURVEY.md §2
 checklist); the TPU-native equivalent is SPMD over a ``jax.sharding.Mesh``
 with the frame batch sharded across chips. Frames are independent, so the
-only cross-shard traffic is the STREAMINFO min/max frame-size reduction
-(here: ``lax.pmin``/``lax.pmax`` over the mesh axis, riding ICI) and the
-final gather of packed bytes (left sharded; the host assembles per shard).
+design keeps cross-shard traffic minimal: packed bytes stay sharded (the
+host assembles per shard, in frame order), and the one collective riding
+ICI is the global capacity-overflow any-reduce (``lax.pmax`` over the mesh
+axis) so every shard's metadata row reports whether ANY chip tripped its
+deposit-window budget. STREAMINFO's min/max frame sizes intentionally stay
+on host: the reference's running-max update rule (metadata.zig quirk) is
+order-dependent, so a plain cross-shard min/max would be wrong.
 
-``encode_step_sharded`` is the full per-step program — plane construction,
-subframe/stereo decisions, Rice search, bit packing, CRC — run under
-``shard_map`` so XLA sees one SPMD program per chip.
+``encode_compact_sharded`` is the production SPMD surface — the same
+tiered compact-stream program the single-device pipeline runs, under
+``shard_map`` so XLA sees one program per chip.
 """
 
 from __future__ import annotations
@@ -22,10 +26,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.config import EncoderConfig
-from ..ops.bitpack import max_frame_words, pack_frames
-from ..ops.crc16 import crc16_words
+from ..ops.bitpack import max_frame_words
 from ..ops.header import header_static
-from ..ops.analyze import plan_frames
 
 FRAME_AXIS = "frames"
 
@@ -35,52 +37,6 @@ def default_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (FRAME_AXIS,))
 
 
-def _encode_shard(
-    frames, frame_numbers, *, config, depth, hstatic, block_size, max_words
-):
-    """Per-shard encode (runs on each chip over its local frames)."""
-    plan = plan_frames(frames, depth, config)
-    words, total_bits, _ovf = pack_frames(
-        plan, frame_numbers, hstatic, block_size, config.max_rice_order,
-        max_words,
-        lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
-        lpc_precision=config.lpc_precision,
-    )
-    byte_len = (total_bits + 7) >> 3
-    crcs = crc16_words(words, byte_len)
-    frame_bytes = byte_len + 2  # + CRC-16 footer
-    # STREAMINFO frame-size bounds: the only cross-shard reduction
-    local_min = frame_bytes.min()
-    local_max = frame_bytes.max()
-    gmin = jax.lax.pmin(local_min, FRAME_AXIS)
-    gmax = jax.lax.pmax(local_max, FRAME_AXIS)
-    return words, total_bits, crcs, gmin, gmax
-
-
-@lru_cache(maxsize=16)
-def _sharded_fn(config: EncoderConfig, depth: int, c: int, block_size: int,
-                sample_rate: int, mesh_key):
-    mesh = _MESHES[mesh_key]
-    hstatic = header_static(block_size, sample_rate, depth)
-    n_wire = 2 if config.stereo_auto else c
-    max_words = max_frame_words(block_size, n_wire, depth)
-    fn = partial(
-        _encode_shard,
-        config=config,
-        depth=depth,
-        hstatic=hstatic,
-        block_size=block_size,
-        max_words=max_words,
-    )
-    mapped = jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
-        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS), P(), P()),
-    )
-    return jax.jit(mapped)
-
-
 _MESHES = {}
 
 
@@ -88,9 +44,12 @@ def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
                           hstatic, block_size, max_words, capb, deposit):
     """Per-shard production compact-stream encode: each chip packs and
     byte-compacts its local frames; the host assembles shard streams in
-    frame order (frames are independent, so no collective is needed —
-    STREAMINFO min/max comes from the fetched per-frame sizes). ``lpc_args``
-    is () or the (qc, shift, ok) coefficient inputs, sharded on frames."""
+    frame order. The metadata row grows one entry: the global overflow
+    any-reduce (``pmax`` over ICI), alongside the local flag — the host can
+    read any single row to learn whether the whole batch needs the capacity
+    ladder, while the local flags still say which shard to re-encode.
+    ``lpc_args`` is () or the (qc, shift, ok) coefficient inputs, sharded
+    on frames."""
     from ..models.pipeline import _encode_batch_compact
 
     stream, meta = _encode_batch_compact(
@@ -98,6 +57,10 @@ def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
         hstatic=hstatic, block_size=block_size, max_words=max_words,
         capb=capb, deposit=deposit,
     )
+    # meta = [frame_bytes..., total_words, overflow_local]; append the
+    # cross-shard any-overflow
+    ovf_any = jax.lax.pmax(meta[-1], FRAME_AXIS)
+    meta = jnp.concatenate([meta, ovf_any[None]])
     return stream[None], meta[None]
 
 
@@ -149,10 +112,12 @@ def encode_compact_sharded(
     lpc_pre=(),
 ):
     """Production sharded encode: [N, C, B] frames (N divisible by mesh
-    size) -> (stream u32 [ndev, capw_local], meta i64 [ndev, local+2]).
-    Row s of each output is shard s's compact stream / metadata vector, in
-    frame order — the host collects each row exactly like a single-device
-    batch. ``lpc_pre`` is () or the (qc, shift, ok) host-derived coefficient
+    size) -> (stream u32 [ndev, capw_local], meta i64 [ndev, local+3]).
+    Row s of each output is shard s's compact stream / metadata vector
+    ([sizes..., total_words, overflow_local, overflow_any]), in frame
+    order — the host collects each row exactly like a single-device batch,
+    and re-encodes only overflowing shards through the capacity ladder.
+    ``lpc_pre`` is () or the (qc, shift, ok) host-derived coefficient
     arrays, frame-major (sharded like frames)."""
     mesh_key = tuple(d.id for d in mesh.devices.flat)
     _MESHES[mesh_key] = mesh
@@ -166,28 +131,3 @@ def encode_compact_sharded(
     )
     stream, meta = fn(frames, frame_numbers, *lpc_pre)
     return stream, meta, frame_cap
-
-
-def encode_step_sharded(
-    frames: jnp.ndarray,
-    frame_numbers: jnp.ndarray,
-    config: EncoderConfig,
-    depth: int,
-    sample_rate: int,
-    mesh: Mesh | None = None,
-):
-    """Run the full encode step SPMD over the mesh.
-
-    ``frames``: [N, C, B] int32 with N divisible by the mesh size.
-    Returns (words, total_bits, crcs, min_frame_bytes, max_frame_bytes).
-    """
-    mesh = mesh or default_mesh()
-    mesh_key = tuple(d.id for d in mesh.devices.flat)
-    _MESHES[mesh_key] = mesh
-    n, c, B = frames.shape
-    if n % mesh.devices.size != 0:
-        raise ValueError(
-            f"frame count {n} not divisible by mesh size {mesh.devices.size}"
-        )
-    fn = _sharded_fn(config, depth, c, B, sample_rate, mesh_key)
-    return fn(frames, frame_numbers)
