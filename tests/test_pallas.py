@@ -111,6 +111,79 @@ def test_binned_deposit_word_budget_clamp(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_merged_deposit_matches_segsum(rng):
+    """The pair-merged production path (deposit_stream_binned) must match
+    the exact segment-sum deposits bit-for-bit, including merged values up
+    to 64 bits spanning three output words."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.bitpack import deposit_words
+    from zigflac_tpu.ops.pallas_deposit import deposit_stream_binned
+
+    # widest pair: (max_nbv-1) + (max_nbv-1 + gap-1) must stay <= 64
+    for n, s, max_nbv, gap in [(3, 200, 20, 4), (2, 257, 29, 8), (1, 64, 31, 2)]:
+        d_cum, val, nbv = _rand_stream(
+            rng, n, s, max_nbv=max_nbv, gap=gap, dtype=np.uint64
+        )
+        W = int(d_cum.max() // 32) + 3
+        a = deposit_words(
+            jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W
+        )
+        b, ovf = deposit_stream_binned(
+            jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W,
+            interpret=True,
+        )
+        assert not bool(np.asarray(ovf))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merged_deposit_unmergeable_pair_flags_overflow(rng):
+    """A pair whose combined deposited span exceeds 64 bits (giant unary
+    run in the second field) must raise the overflow flag so the caller
+    takes the exact path."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.pallas_deposit import deposit_stream_binned
+
+    n, s = 1, 8
+    nbv = np.full((n, s), 4, np.int32)
+    nb = nbv.copy()
+    nb[0, 3] = 70  # field 3 (odd partner of pair 1): 66 zeros + 4-bit value
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    val = np.full((n, s), 9, np.uint64)
+    _, ovf = deposit_stream_binned(
+        jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv),
+        int(d_cum.max() // 32) + 3, interpret=True,
+    )
+    assert bool(np.asarray(ovf))
+
+
+def test_merged_deposit_masked_and_odd_columns(rng):
+    """Masked (nbv=0) partners merge as identities, and an odd column count
+    pads cleanly."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.bitpack import deposit_words
+    from zigflac_tpu.ops.pallas_deposit import deposit_stream_binned
+
+    n, s = 2, 151  # odd
+    d_cum, val, nbv = _rand_stream(rng, n, s, max_nbv=18, dtype=np.uint64)
+    kill = rng.random((n, s)) < 0.4  # many masked columns
+    nbv = np.where(kill, 0, nbv)
+    val = np.where(kill, 0, val)
+    nb = np.where(kill, 0, np.diff(np.concatenate(
+        [np.zeros((n, 1), np.int32), d_cum], axis=1), axis=1))
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    W = int(d_cum.max() // 32) + 3
+    a = deposit_words(jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W)
+    b, ovf = deposit_stream_binned(
+        jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W,
+        interpret=True,
+    )
+    assert not bool(np.asarray(ovf))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pack_frames_binned_matches_segsum(rng):
     """Full pack_frames with deposit='binned' (interpret mode) is
     byte-identical to the production segment-sum path."""

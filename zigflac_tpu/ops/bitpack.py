@@ -421,26 +421,19 @@ def header_symbols(
     )
 
 
-def pack_frames(
+def frame_symbol_stream(
     plan: FrameWirePlan,
     frame_numbers: jnp.ndarray,
     hstatic: HeaderStatic,
     block_size: int,
     max_rice_order: int,
-    max_words: int,
     lpc_order: int = 0,
     lpc_precision: int = 14,
-    deposit: str = "segsum",
-    interpret: bool = False,
 ):
-    """Full frames (header + subframes) -> (words u32 [N, W], total_bits).
-
-    Every wire field — header bytes, subframe fronts, partition params (on
-    their grid columns), residual codes — is one column of a single width
-    array; one prefix sum yields every bit offset and EVERY column deposits,
-    so there is exactly one deposit stream (monotone word keys) feeding
-    either the Pallas windowed-binning kernel or the exact segment-sum path.
-    """
+    """The whole-frame deposit stream: header bytes + every channel's
+    subframe symbols concatenated, with the offset prefix sum. Returns
+    (dep_cum i32 [N, S], total_bits i32 [N], dep_val_parts, dep_nbv [N, S])
+    — value parts stay unconcatenated so the caller picks the dtype."""
     hb, hlen = build_headers(frame_numbers, plan.channels_code, hstatic)
     hdr = header_symbols(hb, hlen)
     nb_parts = [hdr.nb]
@@ -472,22 +465,53 @@ def pack_frames(
     nb = jnp.concatenate(nb_parts, axis=1)
     dep_cum = jnp.cumsum(nb, axis=1, dtype=jnp.int32)
     total_bits = dep_cum[:, -1]
+    dep_nbv = jnp.concatenate(dep_nbv_parts, axis=1)
+    return dep_cum, total_bits, dep_val_parts, dep_nbv
+
+
+def pack_frames(
+    plan: FrameWirePlan,
+    frame_numbers: jnp.ndarray,
+    hstatic: HeaderStatic,
+    block_size: int,
+    max_rice_order: int,
+    max_words: int,
+    lpc_order: int = 0,
+    lpc_precision: int = 14,
+    deposit: str = "segsum",
+    interpret: bool = False,
+):
+    """Full frames (header + subframes) -> (words u32 [N, W], total_bits).
+
+    Every wire field — header bytes, subframe fronts, partition params (on
+    their grid columns), residual codes — is one column of a single width
+    array; one prefix sum yields every bit offset and EVERY column deposits,
+    so there is exactly one deposit stream (monotone word keys) feeding
+    either the Pallas windowed-binning kernel or the exact segment-sum path.
+    """
+    dep_cum, total_bits, dep_val_parts, dep_nbv = frame_symbol_stream(
+        plan, frame_numbers, hstatic, block_size, max_rice_order,
+        lpc_order=lpc_order, lpc_precision=lpc_precision,
+    )
+
+    if deposit == "binned":
+        from .pallas_deposit import deposit_stream_binned
+
+        # the binned path pair-merges adjacent symbols into <=64-bit
+        # deposits, so values are u64 regardless of depth
+        dep_val = jnp.concatenate(
+            [v.astype(jnp.uint64) for v in dep_val_parts], axis=1
+        )
+        main_words, overflow = deposit_stream_binned(
+            dep_cum, dep_val, dep_nbv, max_words, interpret=interpret
+        )
+        return main_words, total_bits, overflow
 
     # deposits are <= 32 bits except the 33-bit side-channel samples of
     # 32-bit-depth stereo; narrow values halve traffic and keep the
     # splitting in pure u32
     vdt = jnp.uint64 if plan.planes.dtype == jnp.int64 else jnp.uint32
     dep_val = jnp.concatenate([v.astype(vdt) for v in dep_val_parts], axis=1)
-    dep_nbv = jnp.concatenate(dep_nbv_parts, axis=1)
-
-    if deposit == "binned":
-        from .pallas_deposit import deposit_words_binned
-
-        w0, hi, lo = _split_hi_lo(dep_cum, dep_val, dep_nbv)
-        main_words, overflow = deposit_words_binned(
-            w0, hi, lo, max_words, interpret=interpret
-        )
-        return main_words, total_bits, overflow
 
     words = deposit_words(dep_cum, dep_val, dep_nbv, max_words)
     return words, total_bits, jnp.asarray(False)

@@ -10,6 +10,21 @@ bounded window of output words. Each chunk accumulates into a [CHUNK,
 window] compare-against-iota matrix on the VPU (disjoint bit ranges make
 add == or) and lands with one dynamic-slice read-modify-write per chunk.
 
+Round-3 restructure — the kernel was measured VMEM-transaction bound at
+~575 ns/chunk (sweeps over CHUNK/WINDOW/UNROLL and scratch layouts all
+flat), so the lever is transactions per deposited bit, not compute:
+
+* PAIR-MERGED deposits: adjacent symbol pairs of the frame stream fuse
+  into one deposit ((val_a << width_b) | val_b, up to 64 deposited bits
+  spanning up to 3 output words) before the kernel — the deposit stream,
+  and with it the chunk count and every per-chunk transaction, HALVES.
+  Pairs whose combined span exceeds 64 bits (a pathological unary
+  quotient run) raise the same overflow flag as a window out-span and the
+  batch falls back to the exact segment-sum path.
+* BULK ROW LOADS: the ``_UNROLL`` chunks of an unroll group load their
+  interleaved [w0 | s0 | s1 | s2] rows with ONE dynamic-sublane VMEM read
+  ([_UNROLL, 4*CHUNK]) instead of one per chunk.
+
 Chunks whose deposits out-span the window (pathological Rice quotient runs)
 are detected in the XLA prologue and reported via the ``overflow`` flag; the
 caller falls back to the exact segment-sum path (the existing capacity-
@@ -41,48 +56,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-# Tunables (env-overridable for hardware sweeps; defaults are the measured
-# v5e optimum). WINDOW trades VPU work per chunk against span-overflow
-# frequency — chunks whose deposits span more words fall back to the exact
-# segment-sum path via the overflow flag.
+# Tunables (env-overridable for hardware sweeps). WINDOW trades VPU work
+# per chunk against span-overflow frequency — chunks whose deposits span
+# more words fall back to the exact segment-sum path via the overflow flag.
+# The merged stream doubles the PCM covered per chunk, so the default
+# window is 384 (merged worst case without a long unary run: 128 pairs of
+# 33-bit fields = 264 words < 382 budget; 256 kept overflowing depth-32
+# escape partitions).
 CHUNK = max(1, int(_os.environ.get("ZF_DEP_CHUNK", "128")))  # deposits/window
 # WINDOW rounds up to a lane multiple: _STORE = WINDOW + 128 must stay
 # 128-aligned or the kernel's aligned-base store-window assumption breaks
-WINDOW = max(128, -(-int(_os.environ.get("ZF_DEP_WINDOW", "256")) // 128) * 128)
+WINDOW = max(128, -(-int(_os.environ.get("ZF_DEP_WINDOW", "384")) // 128) * 128)
 _STORE = WINDOW + 128  # store window: aligned base + 0..127 remainder
 GROUP = max(1, int(_os.environ.get("ZF_DEP_GROUP", "64")))   # frames/invocation
 _UNROLL = max(1, int(_os.environ.get("ZF_DEP_UNROLL", "8")))  # chunk unroll
+# pair-merge the deposit stream before binning (ZF_DEP_MERGE=0 for A/B)
+MERGE = _os.environ.get("ZF_DEP_MERGE", "1") != "0"
 assert _STORE % 128 == 0, "store window must be 128-lane aligned"
-# Sweep notes (v5e, 1024x4096 batch): the kernel itself is ~19 ms of the
-# ~40 ms program and plateaus across CHUNK 64..512 / WINDOW 192..512 /
-# UNROLL 1..16; giving each unroll lane an independent scratch accumulator
-# (breaking the RMW dependency chain) measured identical — the bound is
-# VMEM transaction throughput of the ~33K windowed load/store pairs, not
-# loop overhead, compare-matrix width, or dependencies. 128/256/8 measured
-# best (2410x) with the most generous span budget (254 words per 128
-# deposits). Next step is fusing symbol construction in (ROADMAP item 1).
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _deposit_kernel(n_chunks: int, group: int, pk_ref, out_ref):
+def _deposit_kernel(n_chunks: int, group: int, chunk: int, store: int,
+                    unroll: int, pk_ref, out_ref):
     out_ref[:] = jnp.zeros_like(out_ref)
-    tio = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _STORE), 1)
+    tio = jax.lax.broadcasted_iota(jnp.int32, (chunk, store), 1)
 
-    def one_chunk(r, row):
-        # the three streams ride ONE interleaved array
-        # [group * n_chunks, 3*CHUNK] = [w0 | hi | lo] per chunk row: one
-        # dynamic-sublane load instead of three (VMEM transactions are the
-        # kernel's bound), then static lane slices (Mosaic rejects loads
-        # that are dynamic in both dimensions)
-        row_data = pk_ref[pl.ds(row, 1), :]  # [1, 3*CHUNK]
-        w0c = row_data[:, :CHUNK]
-        hic = row_data[:, CHUNK : 2 * CHUNK]
-        loc = row_data[:, 2 * CHUNK :]
+    def one_chunk(r, bulk, u):
+        # the four streams ride ONE interleaved array
+        # [group * n_chunks, 4*CHUNK] = [w0 | s0 | s1 | s2] per chunk row;
+        # ``bulk`` is the unroll group's [_UNROLL, 4*CHUNK] block (one
+        # dynamic-sublane load shared by _UNROLL chunks — VMEM transactions
+        # are the kernel's bound), sliced statically per chunk.
+        row_data = bulk[u : u + 1, :]  # [1, 4*chunk]
+        w0c = row_data[:, :chunk]
+        s0c = row_data[:, chunk : 2 * chunk]
+        s1c = row_data[:, 2 * chunk : 3 * chunk]
+        s2c = row_data[:, 3 * chunk :]
         # window base = the chunk's first key, lane-aligned down (keys
-        # are monotone, so every rel lands in [0, _STORE-2] given the
+        # are monotone, so every rel lands in [0, _STORE-3] given the
         # span check). Static [0, 0] indexing avoids traced 2D scalar
         # reads, whose index math promotes to i64 and hits a Mosaic
         # convert-lowering recursion.
@@ -90,34 +104,37 @@ def _deposit_kernel(n_chunks: int, group: int, pk_ref, out_ref):
         # the multiple_of-wrapped value participates ONLY in slicing:
         # mixing it into vector arithmetic recurses in tracer dispatch
         ba = pl.multiple_of(ba_val, 128)
-        rel = w0c.reshape(CHUNK, 1) - ba_val  # [0, _STORE-2] (span check)
+        rel = w0c.reshape(chunk, 1) - ba_val  # [0, store-3] (span check)
         # value bits are globally disjoint -> sum == or; each deposit
-        # touches words ba+rel (hi) and ba+rel+1 (lo) only. The zero is
-        # an explicit i32: a bare literal traces as weak i64 under x64,
-        # and i64->i32 converts recurse in Mosaic's lowering.
+        # touches words ba+rel (s0), ba+rel+1 (s1), ba+rel+2 (s2). The
+        # zero is an explicit i32: a bare literal traces as weak i64 under
+        # x64, and i64->i32 converts recurse in Mosaic's lowering.
         zero = jnp.zeros((), jnp.int32)
         acc = jnp.sum(
-            jnp.where(rel == tio, hic.reshape(CHUNK, 1), zero)
-            + jnp.where(rel + 1 == tio, loc.reshape(CHUNK, 1), zero),
+            jnp.where(rel == tio, s0c.reshape(chunk, 1), zero)
+            + jnp.where(rel + 1 == tio, s1c.reshape(chunk, 1), zero)
+            + jnp.where(rel + 2 == tio, s2c.reshape(chunk, 1), zero),
             axis=0,
             dtype=jnp.int32,
         )
-        cur = out_ref[pl.ds(r, 1), pl.ds(ba, _STORE)]
-        out_ref[pl.ds(r, 1), pl.ds(ba, _STORE)] = cur + acc[None, :]
+        cur = out_ref[pl.ds(r, 1), pl.ds(ba, store)]
+        out_ref[pl.ds(r, 1), pl.ds(ba, store)] = cur + acc[None, :]
 
     def row_body(r, carry):
         def ch_body(ch, carry2):
             # manual unroll: Mosaic's fori_loop carries real per-iteration
             # overhead (~300-700 ns) and rejects `unroll=` with traced i32
             # bounds, so the body processes _UNROLL chunks per iteration
-            # (the caller pads the chunk count to a multiple)
-            base_row = r * jnp.int32(n_chunks) + ch * jnp.int32(_UNROLL)
-            for u in range(_UNROLL):
-                one_chunk(r, base_row + jnp.int32(u))
+            # (the caller pads the chunk count to a multiple) off one
+            # shared bulk row load
+            base_row = r * jnp.int32(n_chunks) + ch * jnp.int32(unroll)
+            bulk = pk_ref[pl.ds(base_row, unroll), :]
+            for u in range(unroll):
+                one_chunk(r, bulk, u)
             return carry2
 
         jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_chunks // _UNROLL), ch_body,
+            jnp.int32(0), jnp.int32(n_chunks // unroll), ch_body,
             jnp.int32(0),
         )
         return carry
@@ -125,10 +142,10 @@ def _deposit_kernel(n_chunks: int, group: int, pk_ref, out_ref):
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(group), row_body, jnp.int32(0))
 
 
-def _call_group(packed, n_chunks: int, w_pad: int,
-                interpret: bool) -> jnp.ndarray:
+def _call_group(packed, n_chunks: int, w_pad: int, chunk: int, store: int,
+                unroll: int, interpret: bool) -> jnp.ndarray:
     group = packed.shape[0] // n_chunks  # frames in this tile
-    kern = partial(_deposit_kernel, n_chunks, group)
+    kern = partial(_deposit_kernel, n_chunks, group, chunk, store, unroll)
     return pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -138,24 +155,94 @@ def _call_group(packed, n_chunks: int, w_pad: int,
     )(packed)
 
 
-def deposit_words_binned(
+def _merge_pairs(d_cum, val, nbv):
+    """Fuse adjacent deposit pairs: (val_a << width_b) | val_b deposited at
+    pair-field end, nbv_a + width_b bits. Width-0 / masked partners are
+    identities; pairs whose combined deposited span exceeds 64 bits cannot
+    merge and raise ``cannot`` (the caller ORs it into the overflow flag).
+    Returns (d_cum, val u64, nbv, cannot) over ceil(S/2) columns."""
+    n, s = val.shape
+    if s % 2:
+        d_cum = jnp.concatenate([d_cum, d_cum[:, -1:]], axis=1)
+        val = jnp.concatenate([val, jnp.zeros((n, 1), val.dtype)], axis=1)
+        nbv = jnp.concatenate([nbv, jnp.zeros((n, 1), nbv.dtype)], axis=1)
+    ca, cb = d_cum[:, 0::2], d_cum[:, 1::2]
+    va, vb = val[:, 0::2], val[:, 1::2]
+    na, nb_ = nbv[:, 0::2], nbv[:, 1::2]
+    width_b = cb - ca  # field b's TOTAL width (unary zeros included)
+    a_live = na > 0
+    tot = na + width_b
+    cannot = jnp.any(a_live & (tot > 64))
+    sh = jnp.clip(width_b, 0, 63).astype(jnp.uint64)
+    vm = jnp.where(a_live, (va << sh) | vb, vb)
+    nm = jnp.where(a_live, tot, nb_)
+    return cb, vm, nm, cannot
+
+
+def _split3(d_cum, val, nbv):
+    """Per-deposit word index + three u32 word contributions (a <=64-bit
+    value at any bit offset spans at most 3 output words). Left-justify the
+    value in the 96-bit window starting at its first word: shift
+    96 - r - nbv with r the in-word bit offset."""
+    d_start = d_cum - nbv
+    w0 = (d_start >> 5).astype(jnp.int32)
+    r = (d_start & 31).astype(jnp.int32)
+    sh = 96 - r - nbv  # in [1, 96]; nbv == 0 rows are masked below
+    big = sh >= 32
+    v64 = val << jnp.clip(sh - 32, 0, 63).astype(jnp.uint64)
+    M32 = jnp.uint64(0xFFFFFFFF)
+    s0 = jnp.where(
+        big,
+        v64 >> jnp.uint64(32),
+        (val >> jnp.clip(64 - sh, 1, 63).astype(jnp.uint64)) & M32,
+    )
+    s1 = jnp.where(
+        big,
+        v64 & M32,
+        (val >> jnp.clip(32 - sh, 0, 63).astype(jnp.uint64)) & M32,
+    )
+    s2 = jnp.where(
+        big,
+        jnp.uint64(0),
+        (val << jnp.clip(sh, 0, 31).astype(jnp.uint64)) & M32,
+    )
+    live = nbv > 0
+    z = jnp.uint64(0)
+    return (
+        w0,
+        jnp.where(live, s0, z).astype(jnp.uint32),
+        jnp.where(live, s1, z).astype(jnp.uint32),
+        jnp.where(live, s2, z).astype(jnp.uint32),
+    )
+
+
+def _binned_core(
     w0: jnp.ndarray,
-    hi: jnp.ndarray,
-    lo: jnp.ndarray,
+    s0: jnp.ndarray,
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
     max_words: int,
     interpret: bool = False,
+    chunk: int = None,
+    window: int = None,
+    unroll: int = None,
+    group_rows: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bin sorted per-deposit word contributions into dense output words.
+    """Bin sorted 3-word deposits into dense output words.
 
-    ``w0``  i32 [N, S] word index of each deposit's hi contribution,
+    ``w0``  i32 [N, S] word index of each deposit's first contribution,
             monotone non-decreasing along S (from the offset prefix sum);
-    ``hi``  u32 [N, S] contribution to word w0;
-    ``lo``  u32 [N, S] contribution to word w0 + 1.
+    ``s0/s1/s2``  u32 [N, S] contributions to words w0 / w0+1 / w0+2.
 
     Returns (words u32 [N, max_words], overflow bool). ``overflow`` is True
     when some chunk's deposits span more than WINDOW-2 words — the result is
     then unusable and the caller must take the exact segment-sum path.
     """
+    chunk = CHUNK if chunk is None else chunk
+    window = WINDOW if window is None else max(128, -(-window // 128) * 128)
+    store = window + 128
+    unroll = _UNROLL if unroll is None else unroll
+    group_rows = GROUP if group_rows is None else group_rows
     n, s = w0.shape
     # Elements beyond the word budget clamp into a slack region past
     # max_words (monotonicity is preserved); any frame that actually needed
@@ -163,45 +250,94 @@ def deposit_words_binned(
     # check, so the slack garbage is never read.
     w0 = jnp.minimum(w0, max_words + 1)
 
-    hi = jax.lax.bitcast_convert_type(hi, jnp.int32)
-    lo = jax.lax.bitcast_convert_type(lo, jnp.int32)
-    s_pad = _round_up(max(s, CHUNK * _UNROLL), CHUNK * _UNROLL)
+    s0 = jax.lax.bitcast_convert_type(s0, jnp.int32)
+    s1 = jax.lax.bitcast_convert_type(s1, jnp.int32)
+    s2 = jax.lax.bitcast_convert_type(s2, jnp.int32)
+    s_pad = _round_up(max(s, chunk * unroll), chunk * unroll)
     if s_pad != s:
         padn = s_pad - s
         w0 = jnp.concatenate(
             [w0, jnp.broadcast_to(w0[:, -1:], (n, padn))], axis=1
         )
         z = jnp.zeros((n, padn), jnp.int32)
-        hi = jnp.concatenate([hi, z], axis=1)
-        lo = jnp.concatenate([lo, z], axis=1)
-    n_chunks = s_pad // CHUNK
+        s0 = jnp.concatenate([s0, z], axis=1)
+        s1 = jnp.concatenate([s1, z], axis=1)
+        s2 = jnp.concatenate([s2, z], axis=1)
+    n_chunks = s_pad // chunk
 
-    bases = w0[:, ::CHUNK]  # [N, n_chunks]
-    ends = w0[:, CHUNK - 1 :: CHUNK]
-    # the window must cover remainder (<=127) + chunk span + the lo spill
-    overflow = jnp.any(ends - bases > WINDOW - 2)
+    bases = w0[:, ::chunk]  # [N, n_chunks]
+    ends = w0[:, chunk - 1 :: chunk]
+    # the window must cover remainder (<=127) + chunk span + the s2 spill
+    overflow = jnp.any(ends - bases > window - 2)
 
-    w_pad = _round_up(max_words + 2 + _STORE, 128)
-    group = min(GROUP, n)
+    w_pad = _round_up(max_words + 3 + store, 128)
+    group = min(group_rows, n)
     n_pad = _round_up(n, group)
     if n_pad != n:
         padr = n_pad - n
         w0 = jnp.concatenate([w0, jnp.zeros((padr, s_pad), jnp.int32)])
-        hi = jnp.concatenate([hi, jnp.zeros((padr, s_pad), jnp.int32)])
-        lo = jnp.concatenate([lo, jnp.zeros((padr, s_pad), jnp.int32)])
+        s0 = jnp.concatenate([s0, jnp.zeros((padr, s_pad), jnp.int32)])
+        s1 = jnp.concatenate([s1, jnp.zeros((padr, s_pad), jnp.int32)])
+        s2 = jnp.concatenate([s2, jnp.zeros((padr, s_pad), jnp.int32)])
 
     # flatten chunks into the sublane axis for single-dynamic-index loads,
-    # and interleave the three streams into one [rows, 3*CHUNK] array so
-    # each chunk costs one VMEM load instead of three
-    w0 = w0.reshape(n_pad * n_chunks, CHUNK)
-    hi = hi.reshape(n_pad * n_chunks, CHUNK)
-    lo = lo.reshape(n_pad * n_chunks, CHUNK)
-    packed = jnp.concatenate([w0, hi, lo], axis=1)
+    # and interleave the four streams into one [rows, 4*CHUNK] array so
+    # each chunk costs one slice of the unroll group's single bulk load
+    w0 = w0.reshape(n_pad * n_chunks, chunk)
+    s0 = s0.reshape(n_pad * n_chunks, chunk)
+    s1 = s1.reshape(n_pad * n_chunks, chunk)
+    s2 = s2.reshape(n_pad * n_chunks, chunk)
+    packed = jnp.concatenate([w0, s0, s1, s2], axis=1)
     gc = group * n_chunks
     outs = []
     for g in range(n_pad // group):
         sl = slice(g * gc, (g + 1) * gc)
-        outs.append(_call_group(packed[sl], n_chunks, w_pad, interpret))
+        outs.append(
+            _call_group(packed[sl], n_chunks, w_pad, chunk, store, unroll,
+                        interpret)
+        )
     words = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     words = jax.lax.bitcast_convert_type(words, jnp.uint32)
     return words[:n, :max_words], overflow
+
+
+def deposit_stream_binned(
+    d_cum: jnp.ndarray,
+    val: jnp.ndarray,
+    nbv: jnp.ndarray,
+    max_words: int,
+    interpret: bool = False,
+    merge: bool = None,
+    **tunables,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Production binned deposit: pair-merge the (d_cum, val, nbv) symbol
+    stream (halving the kernel's chunk count), split each merged deposit
+    into its <=3 word contributions, and bin. ``val`` must be u64. The
+    returned overflow flag ORs merge-impossibility with window out-span;
+    either sends the caller to the exact path."""
+    if MERGE if merge is None else merge:
+        d_cum, val, nbv, cannot = _merge_pairs(d_cum, val, nbv)
+    else:
+        cannot = jnp.asarray(False)
+    w0, s0, s1, s2 = _split3(d_cum, val, nbv)
+    words, overflow = _binned_core(
+        w0, s0, s1, s2, max_words, interpret=interpret, **tunables
+    )
+    return words, overflow | cannot
+
+
+def deposit_words_binned(
+    w0: jnp.ndarray,
+    hi: jnp.ndarray,
+    lo: jnp.ndarray,
+    max_words: int,
+    interpret: bool = False,
+    **tunables,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-word-contribution compatibility surface (unmerged streams whose
+    deposits span at most words w0/w0+1): bin via the 3-stream kernel with
+    an all-zero third word."""
+    return _binned_core(
+        w0, hi, lo, jnp.zeros_like(hi), max_words, interpret=interpret,
+        **tunables
+    )
