@@ -184,6 +184,105 @@ def test_merged_deposit_masked_and_odd_columns(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_windowed_deposit_matches_segsum(rng):
+    """The pure-XLA windowed path (production TPU default) must match the
+    exact segment-sum deposits bit-for-bit — merged values up to 64 bits,
+    masked columns, odd column counts, tiny and chunk-crossing streams."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.bitpack import deposit_words, deposit_stream_windowed
+
+    for n, s, max_nbv, gap in [
+        (3, 200, 20, 4), (2, 257, 29, 8), (1, 64, 31, 2), (2, 301, 18, 3),
+    ]:
+        d_cum, val, nbv = _rand_stream(
+            rng, n, s, max_nbv=max_nbv, gap=gap, dtype=np.uint64
+        )
+        if s == 301:  # masked columns + odd count
+            kill = rng.random((n, s)) < 0.4
+            nbv = np.where(kill, 0, nbv)
+            val = np.where(kill, 0, val)
+            nb = np.where(kill, 0, np.diff(np.concatenate(
+                [np.zeros((n, 1), np.int32), d_cum], axis=1), axis=1))
+            d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+        W = int(d_cum.max() // 32) + 3
+        a = deposit_words(
+            jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W
+        )
+        b, ovf = deposit_stream_windowed(
+            jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W
+        )
+        assert not bool(np.asarray(ovf))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_windowed_deposit_overflow_flags(rng):
+    """Window out-span and unmergeable pairs must both raise the windowed
+    path's overflow flag (caller falls back to the exact path)."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.bitpack import deposit_stream_windowed
+
+    # giant field inside a chunk -> window out-span
+    n, s = 1, 256
+    nb = np.full((n, s), 4, np.int32)
+    nb[0, 10] = 600 * 32
+    nbv = np.minimum(nb, 4)
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    val = np.full((n, s), 9, np.uint64)
+    _, ovf = deposit_stream_windowed(
+        jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv),
+        int(d_cum.max() // 32) + 3,
+    )
+    assert bool(np.asarray(ovf))
+    # unmergeable pair (>64-bit combined span)
+    nb = np.full((n, s), 4, np.int32)
+    nb[0, 3] = 70
+    nbv2 = np.minimum(nb, 4)
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    _, ovf = deposit_stream_windowed(
+        jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv2),
+        int(d_cum.max() // 32) + 3,
+    )
+    assert bool(np.asarray(ovf))
+
+
+def test_pack_frames_windowed_matches_segsum(rng):
+    """Full pack_frames with deposit='windowed' (the production TPU
+    deposit) is byte-identical to the segment-sum path on content forcing
+    escapes / verbatim / constant / zero partitions."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.analyze import plan_frames
+    from zigflac_tpu.ops.bitpack import max_frame_words, pack_frames
+    from zigflac_tpu.ops.header import header_static
+    from zigflac_tpu.utils.config import EncoderConfig
+
+    B, n = 512, 6
+    cfg = EncoderConfig(block_size=B)
+    t = np.arange(n * B)
+    x = np.clip(
+        6000 * np.sin(2 * np.pi * 440 * t / 44100)
+        + rng.normal(0, 50, t.size),
+        -32768, 32767,
+    ).astype(np.int32)
+    x[0:B] = 0
+    x[B : 2 * B] = rng.integers(-32768, 32768, B)
+    x[2 * B : 2 * B + 200] = 0
+    frames = np.stack([x.reshape(n, B), (x // 3).reshape(n, B)], axis=1)
+    fns = jnp.arange(n, dtype=jnp.int64)
+    plan = plan_frames(jnp.asarray(frames), 16, cfg)
+    hs = header_static(B, 44100, 16)
+    W = max_frame_words(B, 2, 16)
+    wa, ta, _ = pack_frames(plan, fns, hs, B, cfg.max_rice_order, W)
+    wb, tb, ovf = pack_frames(
+        plan, fns, hs, B, cfg.max_rice_order, W, deposit="windowed",
+    )
+    assert not bool(np.asarray(ovf))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+
 def test_pack_frames_binned_matches_segsum(rng):
     """Full pack_frames with deposit='binned' (interpret mode) is
     byte-identical to the production segment-sum path."""

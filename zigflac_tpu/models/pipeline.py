@@ -57,15 +57,18 @@ def device_tail_enabled() -> bool:
 
 
 def _default_deposit() -> str:
-    """Pallas windowed binning on real TPUs; exact segment-sums elsewhere
-    (the binned kernel is Mosaic-only — CPU tests exercise it via interpret
-    mode in tests/test_pallas.py). Override with ZIGFLAC_DEPOSIT for A/B."""
+    """Pure-XLA windowed binning on real TPUs (bitpack.
+    deposit_stream_windowed — measured faster than the Pallas kernel once
+    the compare fuses, and compile-robust); exact segment-sums elsewhere
+    (scatters are cheap on CPU and the windowed path's MXU byte-matmuls
+    are not). Override with ZIGFLAC_DEPOSIT for A/B ("segsum", "binned" =
+    Pallas kernel, "windowed")."""
     import os
 
     forced = os.environ.get("ZIGFLAC_DEPOSIT")
-    if forced in ("segsum", "binned"):
+    if forced in ("segsum", "binned", "windowed"):
         return forced
-    return "binned" if jax.devices()[0].platform == "tpu" else "segsum"
+    return "windowed" if jax.devices()[0].platform == "tpu" else "segsum"
 
 
 def _product_mesh():

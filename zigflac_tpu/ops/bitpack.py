@@ -469,6 +469,105 @@ def frame_symbol_stream(
     return dep_cum, total_bits, dep_val_parts, dep_nbv
 
 
+def deposit_stream_windowed(
+    d_cum: jnp.ndarray,
+    val: jnp.ndarray,
+    nbv: jnp.ndarray,
+    max_words: int,
+    chunk: int = 128,
+    win_rows: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure-XLA windowed binning of the pair-merged deposit stream — no
+    Pallas, no scatter, MXU for the window combine.
+
+    Two stages, both with static shapes and no read-modify-write chains:
+
+    1. WINDOWS: each chunk of ``chunk`` consecutive merged deposits spans a
+       bounded range (monotone keys), so its contributions bin into a
+       [win_rows * 128]-word window starting at its first key aligned DOWN
+       to a 128-word row. One fused compare-against-iota reduction per
+       chunk — the same arithmetic as the Pallas kernel, scheduled by XLA.
+    2. COMBINE: window w of chunk c holds output rows ``base_c .. base_c +
+       win_rows`` (128-word rows). Overlap-adding all windows into the
+       frame's output rows is a one-hot matmul over row keys: windows
+       split into 4 bf16 byte planes ([N, K, 128] each), multiplied by the
+       [N, R, K] row-key one-hot on the MXU, and reassembled. Disjoint bit
+       ranges make every per-(word, byte) sum <= 255, exactly
+       representable in bf16/f32 — the matmul is bit-exact.
+
+    Returns (words u32 [N, max_words], overflow bool); overflow ORs the
+    window-span check with merge-impossibility, and the caller falls back
+    to the exact segment-sum path (same protocol as the Pallas kernel).
+    """
+    from .pallas_deposit import _merge_pairs, _split3
+
+    d_cum, val, nbv, cannot = _merge_pairs(d_cum, val, nbv)
+    w0, s0, s1, s2 = _split3(d_cum, val, nbv)
+    n, s = w0.shape
+    W = win_rows * 128
+    # rows beyond the word budget clamp into slack rows past max_words
+    # (monotone preserved); frames that needed them trip the caller's
+    # capacity check, so the slack garbage is never read
+    w0 = jnp.minimum(w0, max_words + 1)
+    s_pad = -(-max(s, chunk) // chunk) * chunk
+    if s_pad != s:
+        padn = s_pad - s
+        w0 = jnp.concatenate(
+            [w0, jnp.broadcast_to(w0[:, -1:], (n, padn))], axis=1
+        )
+        z = jnp.zeros((n, padn), w0.dtype)
+        s0 = jnp.concatenate([s0, z.astype(jnp.uint32)], axis=1)
+        s1 = jnp.concatenate([s1, z.astype(jnp.uint32)], axis=1)
+        s2 = jnp.concatenate([s2, z.astype(jnp.uint32)], axis=1)
+    nch = s_pad // chunk
+
+    w0r = w0.reshape(n, nch, chunk)
+    base_row = w0r[:, :, 0] >> 7  # [N, nch] 128-word output row of chunk
+    rel = w0r - (base_row[:, :, None] << 7)  # [0, W-3] given span check
+    overflow = jnp.any(rel > W - 3) | cannot
+
+    # stage 1: per-chunk windows [N, nch, W] (i32, wrapping add == or).
+    # The deposit axis is the MINOR axis of the virtual 4D compare tensor:
+    # measured on v5e, a deposit-major layout breaks XLA's reduce fusion
+    # and spills the ~5 GB intermediate to HBM (~11 ms); minor-axis with
+    # chunk=128 (exactly one lane tile) fuses fully and runs at VPU
+    # compute throughput (~5 ms -> this stage ~3-5 ms).
+    tio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
+    relx = rel[:, :, None, :]
+    z32 = jnp.int32(0)
+    acc = (
+        jnp.where(
+            relx == tio, jax.lax.bitcast_convert_type(s0, jnp.int32)
+            .reshape(n, nch, 1, chunk), z32)
+        + jnp.where(
+            relx + 1 == tio, jax.lax.bitcast_convert_type(s1, jnp.int32)
+            .reshape(n, nch, 1, chunk), z32)
+        + jnp.where(
+            relx + 2 == tio, jax.lax.bitcast_convert_type(s2, jnp.int32)
+            .reshape(n, nch, 1, chunk), z32)
+    ).sum(axis=3, dtype=jnp.int32)  # [N, nch, W]
+
+    # stage 2: overlap-add via one-hot matmul over 128-word output rows
+    K = nch * win_rows
+    winb = acc.reshape(n, K, 128)
+    keys = base_row[:, :, None] + jnp.arange(win_rows, dtype=jnp.int32)
+    keys = keys.reshape(n, K)  # output row of each window row
+    R = (max_words + 2) // 128 + win_rows + 1
+    onehot = (
+        keys[:, None, :] == jnp.arange(R, dtype=jnp.int32)[None, :, None]
+    ).astype(jnp.bfloat16)  # [N, R, K]
+    out = jnp.zeros((n, R, 128), jnp.int32)
+    for b in range(4):
+        plane = ((winb >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+        summed = jax.lax.dot_general(
+            onehot, plane, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [N, R, 128]; each entry <= 255 (disjoint bits), exact
+        out = out + (summed.astype(jnp.int32) << (8 * b))
+    words = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(n, R * 128)
+    return words[:, :max_words], overflow
+
+
 def pack_frames(
     plan: FrameWirePlan,
     frame_numbers: jnp.ndarray,
@@ -494,17 +593,29 @@ def pack_frames(
         lpc_order=lpc_order, lpc_precision=lpc_precision,
     )
 
-    if deposit == "binned":
-        from .pallas_deposit import deposit_stream_binned
-
-        # the binned path pair-merges adjacent symbols into <=64-bit
+    if deposit in ("binned", "windowed"):
+        # both fast paths pair-merge adjacent symbols into <=64-bit
         # deposits, so values are u64 regardless of depth
         dep_val = jnp.concatenate(
             [v.astype(jnp.uint64) for v in dep_val_parts], axis=1
         )
-        main_words, overflow = deposit_stream_binned(
-            dep_cum, dep_val, dep_nbv, max_words, interpret=interpret
-        )
+        if deposit == "windowed":
+            # chunk/window sizing: the chunk is one full lane tile (128);
+            # 128 merged deposits span <=254 words within a 3-row window
+            # (remainder <=127 + span + spill) — 24-bit escape pairs cap at
+            # ~2*26 bits = 208 words, leaving quotient slack. 33-bit side
+            # channels (i64 planes) can hit 268 payload words, so they
+            # take a 4-row window.
+            wr = 4 if plan.planes.dtype == jnp.int64 else 3
+            main_words, overflow = deposit_stream_windowed(
+                dep_cum, dep_val, dep_nbv, max_words, chunk=128, win_rows=wr
+            )
+        else:
+            from .pallas_deposit import deposit_stream_binned
+
+            main_words, overflow = deposit_stream_binned(
+                dep_cum, dep_val, dep_nbv, max_words, interpret=interpret
+            )
         return main_words, total_bits, overflow
 
     # deposits are <= 32 bits except the 33-bit side-channel samples of

@@ -155,64 +155,92 @@ def _call_group(packed, n_chunks: int, w_pad: int, chunk: int, store: int,
     )(packed)
 
 
+def _shl_pair(h, lo, b):
+    """(h, lo) u32 pair << b for b in [0, 31], returning the three limbs
+    (carry-out, hi, lo) of the 96-bit result. Branchless: TPU has no
+    native 64-bit lanes and XLA's emulated u64 VARIABLE shifts lower
+    through per-column gathers (measured in the optimized HLO), so all
+    wide shifts here are hand-rolled u32 limb math."""
+    bu = b.astype(jnp.uint32)
+    inv = jnp.clip(32 - b, 1, 31).astype(jnp.uint32)
+    nz = b > 0
+    z = jnp.uint32(0)
+    spill = lambda x: jnp.where(nz, x >> inv, z)  # x >> (32-b), 0 at b==0
+    return spill(h), (h << bu) | spill(lo), lo << bu
+
+
 def _merge_pairs(d_cum, val, nbv):
     """Fuse adjacent deposit pairs: (val_a << width_b) | val_b deposited at
     pair-field end, nbv_a + width_b bits. Width-0 / masked partners are
     identities; pairs whose combined deposited span exceeds 64 bits cannot
     merge and raise ``cannot`` (the caller ORs it into the overflow flag).
-    Returns (d_cum, val u64, nbv, cannot) over ceil(S/2) columns."""
+    Returns (d_cum, (val_hi, val_lo) u32 pair, nbv, cannot) over ceil(S/2)
+    columns."""
     n, s = val.shape
     if s % 2:
         d_cum = jnp.concatenate([d_cum, d_cum[:, -1:]], axis=1)
         val = jnp.concatenate([val, jnp.zeros((n, 1), val.dtype)], axis=1)
         nbv = jnp.concatenate([nbv, jnp.zeros((n, 1), nbv.dtype)], axis=1)
+    # u64 -> u32 limbs first (constant-distance shift = a limb move); all
+    # variable-distance math below stays in u32
+    vh = (val >> jnp.uint64(32)).astype(jnp.uint32)
+    vl = val.astype(jnp.uint32)
     ca, cb = d_cum[:, 0::2], d_cum[:, 1::2]
-    va, vb = val[:, 0::2], val[:, 1::2]
+    ha, la = vh[:, 0::2], vl[:, 0::2]
+    hb, lb = vh[:, 1::2], vl[:, 1::2]
     na, nb_ = nbv[:, 0::2], nbv[:, 1::2]
     width_b = cb - ca  # field b's TOTAL width (unary zeros included)
     a_live = na > 0
     tot = na + width_b
     cannot = jnp.any(a_live & (tot > 64))
-    sh = jnp.clip(width_b, 0, 63).astype(jnp.uint64)
-    vm = jnp.where(a_live, (va << sh) | vb, vb)
+    # (ha, la) << width_b over u32 limbs; width_b in [0, 63] when mergeable
+    small = width_b < 32
+    b_lo = jnp.clip(width_b, 0, 31)
+    b_hi = jnp.clip(width_b - 32, 0, 31)
+    _, sh_h, sh_l = _shl_pair(ha, la, b_lo)
+    big_h = la << b_hi.astype(jnp.uint32)  # low limb crosses into hi
+    sa_h = jnp.where(small, sh_h, big_h)
+    sa_l = jnp.where(small, sh_l, jnp.uint32(0))
+    # field b's value occupies the low width_b bits: disjoint from the
+    # shifted field-a bits whenever the pair merges, so or == add
+    hm = jnp.where(a_live, sa_h | hb, hb)
+    lm = jnp.where(a_live, sa_l | lb, lb)
     nm = jnp.where(a_live, tot, nb_)
-    return cb, vm, nm, cannot
+    return cb, (hm, lm), nm, cannot
 
 
 def _split3(d_cum, val, nbv):
     """Per-deposit word index + three u32 word contributions (a <=64-bit
     value at any bit offset spans at most 3 output words). Left-justify the
     value in the 96-bit window starting at its first word: shift
-    96 - r - nbv with r the in-word bit offset."""
+    96 - r - nbv with r the in-word bit offset. ``val`` is a (hi, lo) u32
+    limb pair (from _merge_pairs) or a u64 array."""
+    if isinstance(val, tuple):
+        vh, vl = val
+    else:
+        vh = (val >> jnp.uint64(32)).astype(jnp.uint32)
+        vl = val.astype(jnp.uint32)
     d_start = d_cum - nbv
     w0 = (d_start >> 5).astype(jnp.int32)
     r = (d_start & 31).astype(jnp.int32)
     sh = 96 - r - nbv  # in [1, 96]; nbv == 0 rows are masked below
-    big = sh >= 32
-    v64 = val << jnp.clip(sh - 32, 0, 63).astype(jnp.uint64)
-    M32 = jnp.uint64(0xFFFFFFFF)
-    s0 = jnp.where(
-        big,
-        v64 >> jnp.uint64(32),
-        (val >> jnp.clip(64 - sh, 1, 63).astype(jnp.uint64)) & M32,
-    )
-    s1 = jnp.where(
-        big,
-        v64 & M32,
-        (val >> jnp.clip(32 - sh, 0, 63).astype(jnp.uint64)) & M32,
-    )
-    s2 = jnp.where(
-        big,
-        jnp.uint64(0),
-        (val << jnp.clip(sh, 0, 31).astype(jnp.uint64)) & M32,
-    )
+    # v << sh over limbs: sh = 32*k + b with k in {0, 1, 2}, b in [0, 31];
+    # first shift by b (96-bit limbs), then rotate whole limbs by k
+    k = sh >> 5
+    b = sh & 31
+    a2, a1, a0 = _shl_pair(vh, vl, b)
+    z = jnp.uint32(0)
+    k1 = k == 1
+    k2 = k == 2
+    s0 = jnp.where(k2, a0, jnp.where(k1, a1, a2))
+    s1 = jnp.where(k2, z, jnp.where(k1, a0, a1))
+    s2 = jnp.where(k2, z, jnp.where(k1, z, a0))
     live = nbv > 0
-    z = jnp.uint64(0)
     return (
         w0,
-        jnp.where(live, s0, z).astype(jnp.uint32),
-        jnp.where(live, s1, z).astype(jnp.uint32),
-        jnp.where(live, s2, z).astype(jnp.uint32),
+        jnp.where(live, s0, z),
+        jnp.where(live, s1, z),
+        jnp.where(live, s2, z),
     )
 
 
