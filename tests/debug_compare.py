@@ -47,17 +47,17 @@ def compare(samples, depth, B, rate=44100):
         for w, (pl, ch, ss, _k) in enumerate(gplan.subframes):
             kindmap = {"constant": 0, "verbatim": 1, "fixed": 2}
             gk = kindmap[ch.kind]
-            dk = plan["kind"][i, w]
+            dk = plan["kind"][w, i]
             if gk != dk:
                 print(f"frame {i} wire {w}: kind golden={ch.kind} device={dk}")
                 continue
-            if plan["sample_size"][i, w] != ss:
-                print(f"frame {i} wire {w}: ss golden={ss} device={plan['sample_size'][i, w]}")
-            if not np.array_equal(np.asarray(pl, dtype=np.int64), plan["planes"][i, w]):
+            if plan["sample_size"][w, i] != ss:
+                print(f"frame {i} wire {w}: ss golden={ss} device={plan['sample_size'][w, i]}")
+            if not np.array_equal(np.asarray(pl, dtype=np.int64), plan["planes"][w, i]):
                 print(f"frame {i} wire {w}: plane data differs")
             if ch.kind == "fixed":
-                if ch.order != plan["order"][i, w]:
-                    print(f"frame {i} wire {w}: order golden={ch.order} device={plan['order'][i, w]}")
+                if ch.order != plan["order"][w, i]:
+                    print(f"frame {i} wire {w}: order golden={ch.order} device={plan['order'][w, i]}")
                 if ch.rice.method != plan["method"][i, w]:
                     print(f"frame {i} wire {w}: method golden={ch.rice.method} device={plan['method'][i, w]}")
                 if ch.rice.part_order != plan["part_order"][i, w]:
@@ -161,12 +161,12 @@ def compare_symbols(samples, depth, B, rate=44100, frame_i=0):
         jnp.arange(nf, dtype=jnp.int64), plan.channels_code, hstatic
     )
     blocks = [header_symbols(hb, hlen)]
-    for w in range(plan.kind.shape[1]):
+    for w in range(plan.kind.shape[0]):
         blocks.append(
             channel_symbols(
-                plan.kind[:, w], plan.order[:, w], plan.method[:, w],
-                plan.part_order[:, w], plan.sample_size[:, w],
-                plan.params[:, w], plan.planes[:, w], plan.residuals[:, w],
+                plan.kind[w], plan.order[w], plan.method[w],
+                plan.part_order[w], plan.sample_size[w],
+                plan.params[w], plan.planes[w], plan.residuals[w],
                 B, cfg.max_rice_order,
             )
         )

@@ -199,3 +199,36 @@ def test_tail_only_file_on_device(rng):
     g = Encoder(cfg, 16, backend="golden").encode_stream(samples, info_g)
     d = Encoder(cfg, 16, backend="device").encode_stream(samples, info_d)
     assert g == d
+
+
+def test_speculative_sweep_detection_and_24bit_identity():
+    """The speculative-u32 rice sweep: (a) its unsafe flag fires on
+    residuals big enough to push a fine-partition zigzag sum past 2^31
+    (only LPC blowups can produce these — fixed-mode residuals at
+    <=24-bit stay under the bound by construction, which is exactly why
+    tier 0 can speculate); (b) on real full-scale 24-bit content the
+    speculated sweep is bit-identical to exact, so the device pipeline
+    matches golden with no fallback."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.analyze import rice_estimate
+
+    B = 4096
+    # (a) synthetic 28-bit residuals (an LPC mis-prediction scale): trips
+    big = ((np.arange(B) & 1) * 2 - 1).astype(np.int32) * (1 << 27)
+    _b, _m, _p, _par, unsafe = rice_estimate(
+        jnp.asarray(big[None, :]), jnp.zeros((1,), jnp.int32), B, 8, 30,
+        speculate=True,
+    )
+    assert bool(np.asarray(unsafe))
+    # ...and exact-mode never reports unsafe
+    _b, _m, _p, _par, unsafe0 = rice_estimate(
+        jnp.asarray(big[None, :]), jnp.zeros((1,), jnp.int32), B, 8, 30,
+    )
+    assert not bool(np.asarray(unsafe0))
+    # (b) full-scale 24-bit Nyquist square end to end
+    t = np.arange(2 * B)
+    x = (((t & 1) * 2 - 1) * (2**23 - 1)).astype(np.int32)
+    samples = np.stack([x, -x])
+    g, d = run_both(samples, 24, rate=96000)
+    assert_identical(g, d)

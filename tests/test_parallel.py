@@ -82,11 +82,13 @@ def test_sharded_overflow_stays_sharded(rng, mesh):
     from zigflac_tpu.models import pipeline as pl
     from zigflac_tpu.wav import write_wav
 
-    B = 256
+    B = 1024
     cfg = EncoderConfig(block_size=B, channels="stereo_auto")
     nf = 2 * mesh.devices.size
     # full-scale noise: every frame needs verbatim subframes, which
-    # out-size the tier-0 compact stream budget on every shard
+    # out-size the tier-0 compact stream budget on every shard (B is
+    # large enough that the ALIGN_W group-padding slack in the budget
+    # stays small relative to the frames)
     samples = make_signal(rng, nf * B, channels=2, depth=16, kind="noise")
     buf = io.BytesIO()
     write_wav(buf, samples.astype(np.int32), 44100, 16)

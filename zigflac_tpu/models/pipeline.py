@@ -437,8 +437,11 @@ def _compiled_encode_compact(
     n_wire = 2 if config.stereo_auto else c
     stream_ratio, words_ratio = CAPACITY_LADDER[tier]
     max_words = max_frame_words(block_size, n_wire, depth, words_ratio)
+    from ..ops.bitpack import ALIGN_W
+
     raw_bytes = batch * block_size * c * max(depth, 8) // 8
-    capb = int(raw_bytes * stream_ratio) + 64 * batch
+    # slack: per-frame ALIGN_W-group round-up (4*ALIGN_W bytes) + headroom
+    capb = int(raw_bytes * stream_ratio) + (4 * ALIGN_W + 32) * batch
     return (
         jax.jit(
             partial(
@@ -450,6 +453,7 @@ def _compiled_encode_compact(
                 max_words=max_words,
                 capb=capb,
                 deposit=_default_deposit(),
+                speculate=tier == 0,
             )
         ),
         max_words * 4,
@@ -503,6 +507,7 @@ def _encode_batch(
         max_words,
         lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
         lpc_precision=config.lpc_precision,
+        depth=depth,
     )
     byte_len = (total_bits + 7) >> 3
     crcs = crc16_words(words, byte_len)
@@ -523,11 +528,13 @@ def _encode_batch_compact(
     max_words: int,
     capb: int,
     deposit: str = "segsum",
+    speculate: bool = False,
 ):
     frames = frames.astype(jnp.int32)
     plan = plan_frames(
         frames, depth, config,
         lpc_pre=_lpc_pre_list(config, lpc_qc, lpc_sh, lpc_ok),
+        speculate=speculate,
     )
     words, total_bits, overflow = pack_frames(
         plan, frame_numbers, hstatic, block_size, config.max_rice_order,
@@ -535,7 +542,12 @@ def _encode_batch_compact(
         lpc_order=config.lpc_order if config.prediction == "lpc" else 0,
         lpc_precision=config.lpc_precision,
         deposit=deposit,
+        depth=depth,
     )
+    # a speculative-u32-sweep overflow invalidates the whole batch the
+    # same way a deposit-window overflow does: the capacity ladder's
+    # exact-sweep tier re-encodes it
+    overflow = overflow | plan.sweep_unsafe
     byte_len = (total_bits + 7) >> 3
     crcs = crc16_words(words, byte_len)
     words = deposit_crc16(words, byte_len, crcs)

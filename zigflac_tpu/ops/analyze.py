@@ -62,6 +62,9 @@ class PlaneAnalysis(NamedTuple):
     qcoeffs: jnp.ndarray     # i32 [..., 32]: quantized LPC coefficients
     qshift: jnp.ndarray      # i32 [...]: LPC coefficient shift
     wasted: jnp.ndarray      # i32 [...]: shaved trailing zero bits (extension)
+    sweep_unsafe: jnp.ndarray  # bool scalar: speculative u32 rice sweep hit
+                               # a >=2^31 partition sum; results invalid,
+                               # caller must re-encode exactly
 
 
 def _ilog2(v: int) -> int:
@@ -173,14 +176,35 @@ def rice_estimate(
     block_size: int,
     max_rice_order: int,
     max_param: int,
+    zz_bits: int = 32,
+    speculate: bool = False,
 ):
-    """(bits u64, method i32, part_order i32, params u8[...,256]) — the flake
+    """(bits u64, method i32, part_order i32, params u8[...,256], unsafe
+    bool scalar) — the flake
     estimate with every reference tie-break (libFLAC/rice.zig:237-375):
     per-partition cost = psize*(k+1) + ((sum -% psize/2) >> k) in wrapping
     u64, smallest param wins cost ties, escape param (max_param+1) costs
     psize*param, all-zero partitions cost 5, partition-order ties keep the
     larger order, and the order is clamped by ctz(B) and the predictor
-    order's log2 limit."""
+    order's log2 limit.
+
+    ``zz_bits``: static bound with zigzag values < 2**zz_bits (pass 32 when
+    unknown). Partition levels whose sums provably fit 32 bits sweep in
+    u32 — the u64-emulated sweep is the analysis hot spot (measured
+    ~1.3 ms/1024-frame 16-bit batch, a 2.4k-op fusion) and the u32 result
+    is bit-identical: non-underflowing rows never wrap in either width,
+    and rows with s < psz/2 always select k=0 under the reference's
+    wrapping-u64 semantics (every k >= 1 candidate lands near 2^(64-k),
+    far above any real cost), which a post-sweep fixup reproduces.
+
+    ``speculate``: sweep EVERY level in u32 and instead *detect* sums
+    >= 2^31 among the proof-unsafe levels, reporting them in the returned
+    ``unsafe`` flag. The caller must then discard the whole result and
+    re-run an exact program (the encode pipeline folds ``unsafe`` into
+    its capacity-ladder overflow, whose tier-1 re-encode sweeps exactly) —
+    this wins the u32 sweep for 24-bit content and LPC candidates, whose
+    residuals have no useful static bound, at the cost of a rare
+    re-encode on pathological content."""
     B = block_size
     po_top = min(max_rice_order, _ctz(B))
     K = max_param + 2  # sweep covers 0..max_param+1 (escape inclusive)
@@ -196,58 +220,132 @@ def rice_estimate(
     )
     dyn_max_po = jnp.minimum(jnp.asarray(limit_by_order)[order], po_top)
 
-    totals = []
-    methods = []
-    params_padded = []
     batch_shape = order.shape
-    for po in range(po_top + 1):
-        nparts = 1 << po
-        psz_full = B >> po
-        s = sums[po]  # [..., nparts] u64
-        first = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) == 0
-        psz = jnp.where(first, psz_full - order[..., None], psz_full).astype(
-            jnp.uint64
-        )
-        lhs = s - psz // jnp.uint64(2)  # wrapping u64 subtract
 
-        # The k sweep is UNROLLED (K <= 32 static): as a fori_loop the u64
-        # carries round-trip HBM every iteration across all 9 partition
-        # levels (measured 31 ms/1024-frame batch); unrolled, XLA fuses the
-        # whole sweep into the surrounding kernel (~0.5 ms).
+    # The k sweep and the whole per-level selection run BATCH-MINOR: every
+    # tensor is [..., parts, N] with the frame batch on the last axis.
+    # In the [..., N, parts] orientation the scalar outputs (totals,
+    # method — [..., N]) prefer N-minor layouts, XLA's layout assignment
+    # back-propagates that preference into the 3D sweep tensors, and the
+    # program fills with transpose copies + serialized kLoop fusions
+    # (measured ~2 ms of a 1024-frame batch). Batch-minor end to end, the
+    # only transposes are one [.., N, 256] u64 level-top (below) and the
+    # [.., 256, N] -> [.., N, 256] params at the end — both cheap.
+    col_po = np.concatenate(
+        [np.full(1 << po, po, np.int32) for po in range(po_top + 1)]
+    )
+    col_psz = (B >> col_po).astype(np.uint64)[:, None]  # [511, 1]
+    col_first = np.concatenate(
+        [np.arange(1 << po) == 0 for po in range(po_top + 1)]
+    )[:, None]
+    # transpose the pyramid top once, then rebuild the coarser levels with
+    # strided adds on the parts axis (axis -2)
+    top_t = jnp.swapaxes(sums[po_top], -1, -2)  # [..., 256, N]
+    sums_t = [None] * (po_top + 1)
+    sums_t[po_top] = top_t
+    for po in range(po_top - 1, -1, -1):
+        prev = sums_t[po + 1]
+        sums_t[po] = prev[..., 0::2, :] + prev[..., 1::2, :]
+    s_all = jnp.concatenate(
+        [sums_t[po] for po in range(po_top + 1)], axis=-2
+    )  # [..., 511, N] u64, level 0 first
+
+    def sweep(s, psz, dt):
+        """The unrolled k sweep + escape/zero fixes in width ``dt``. (As a
+        fori_loop the carries round-trip HBM every iteration; unrolled,
+        XLA fuses the whole sweep into one elementwise kernel.)"""
+        lhs = s - psz // dt(2)  # wrapping subtract
         best_bc = psz + lhs  # k = 0
-        best_k = (lhs ^ lhs).astype(jnp.int32)
+        best_k = jnp.zeros(s.shape, jnp.int32)
         for k in range(1, K):
-            bc = psz * jnp.uint64(k + 1) + (lhs >> jnp.uint64(k))
+            bc = psz * dt(k + 1) + (lhs >> dt(k))
             smaller = bc < best_bc
             best_k = jnp.where(smaller, k, best_k)
             best_bc = jnp.minimum(bc, best_bc)
         esc = best_k == max_param + 1
-        best_bc = jnp.where(esc, psz * jnp.uint64(max_param + 1), best_bc)
+        best_bc = jnp.where(esc, psz * dt(max_param + 1), best_bc)
         zero = s == 0
         best_k = jnp.where(zero, max_param + 1, best_k)
-        best_bc = jnp.where(zero, jnp.uint64(5), best_bc)
+        best_bc = jnp.where(zero, dt(5), best_bc)
+        return best_k, best_bc
 
+    # level-po partition sums are < 2^(log2(B) - po + zz_bits): levels at
+    # or above proof_cut_po sweep in u32 (bit-identical, see docstring).
+    # Under ``speculate``, levels >= SPEC_PO also sweep in u32 with
+    # dynamic detection: the coarse levels stay exact because (a) they are
+    # only 2^SPEC_PO - 1 of the 2^(po_top+1) - 1 columns (~12% of the
+    # sweep) and (b) ordinary loud 24-bit content really does push
+    # coarse-partition sums past 2^31 (128-sample noise partitions sit
+    # ~2^30.7), which would make the whole-batch fallback fire routinely;
+    # at 64-sample partitions the margin is ~2.5x and only adversarial
+    # content trips it.
+    proof_cut_po = min(max(L + zz_bits - 31, 0), po_top + 1)
+    SPEC_PO = 6
+    cut_po = min(proof_cut_po, SPEC_PO) if speculate else proof_cut_po
+    cut = (1 << cut_po) - 1  # column offset of the first u32-swept level
+    unsafe = jnp.zeros((), bool)
+    if speculate and proof_cut_po > cut_po:
+        hi = min((1 << proof_cut_po) - 1, s_all.shape[-2])
+        unsafe = (s_all[..., cut:hi, :] >= jnp.uint64(1 << 31)).any()
+    order_t = order[..., None, :]  # [..., 1, N]
+    col_psz_j = jnp.asarray(col_psz)
+    col_first_j = jnp.asarray(col_first)
+    parts = []
+    if cut > 0:
+        psz64 = jnp.where(
+            col_first_j[:cut], col_psz_j[:cut] - order_t.astype(jnp.uint64),
+            col_psz_j[:cut],
+        )
+        parts.append(sweep(s_all[..., :cut, :], psz64, jnp.uint64))
+    if cut_po <= po_top:
+        s32 = s_all[..., cut:, :].astype(jnp.uint32)
+        psz32 = jnp.where(
+            col_first_j[cut:],
+            col_psz_j[cut:].astype(jnp.uint32) - order_t.astype(jnp.uint32),
+            col_psz_j[cut:].astype(jnp.uint32),
+        )
+        k32, bc32 = sweep(s32, psz32, jnp.uint32)
+        # s < psz/2 rows (s > 0 — all-zero rows keep the zero fix): the
+        # u64 reference sweep always keeps k = 0 with the wrapped cost
+        # psz + (s -% psz/2) = psz - psz/2 + s
+        under = (s32 < psz32 // jnp.uint32(2)) & (s32 != 0)
+        k32 = jnp.where(under, 0, k32)
+        bc32 = jnp.where(under, psz32 - psz32 // jnp.uint32(2) + s32, bc32)
+        parts.append((k32, bc32.astype(jnp.uint64)))
+    if len(parts) == 2:
+        best_k = jnp.concatenate([parts[0][0], parts[1][0]], axis=-2)
+        best_bc = jnp.concatenate([parts[0][1], parts[1][1]], axis=-2)
+    else:
+        best_k, best_bc = parts[0]
+
+    totals = []
+    methods = []
+    params_padded = []
+    start = 0
+    pad_cfg = [(0, 0)] * (order.ndim - 1) + [(0, 0), (0, 0)]
+    for po in range(po_top + 1):
+        nparts = 1 << po
+        k_lvl = best_k[..., start : start + nparts, :]
         if max_param > MAX_RICE_PARAM_4BIT:
-            method = (best_k > MAX_RICE_PARAM_4BIT).any(axis=-1).astype(jnp.int32)
+            method = (k_lvl > MAX_RICE_PARAM_4BIT).any(axis=-2).astype(jnp.int32)
         else:
             method = jnp.zeros(batch_shape, jnp.int32)
         # tree-sum the partition costs (halving strided adds — minor-axis
         # u64 reduces can serialize on TPU)
-        bc_total = best_bc
+        bc_total = best_bc[..., start : start + nparts, :]
         m = nparts
         while m > 1:
-            bc_total = bc_total[..., 0::2] + bc_total[..., 1::2]
+            bc_total = bc_total[..., 0::2, :] + bc_total[..., 1::2, :]
             m >>= 1
-        total = bc_total[..., 0] + (
+        total = bc_total[..., 0, :] + (
             method.astype(jnp.uint64) + 4
         ) * jnp.uint64(nparts)
         total = jnp.where(dyn_max_po >= po, total, U64_MAX)
         totals.append(total)
         methods.append(method)
-        pad = 256 - nparts
-        params_padded.append(
-            jnp.pad(best_k.astype(jnp.uint8), [(0, 0)] * order.ndim + [(0, pad)])
-        )
+        pad_cfg[-2] = (0, 256 - nparts)
+        params_padded.append(jnp.pad(k_lvl.astype(jnp.uint8), pad_cfg))
+        start += nparts
 
     tstack = jnp.stack(totals)  # [PO+1, ...]
     # ties keep the larger partition order (<= in rice.zig:258) -> last-min
@@ -258,8 +356,8 @@ def rice_estimate(
         at = best_po == po
         bits = jnp.where(at, totals[po], bits)
         method = jnp.where(at, methods[po], method)
-        params = jnp.where(at[..., None], params_padded[po], params)
-    return bits, method, best_po, params
+        params = jnp.where(at[..., None, :], params_padded[po], params)
+    return bits, method, best_po, jnp.swapaxes(params, -1, -2), unsafe
 
 
 def _apply_wasted(planes: jnp.ndarray, sample_size: int, config):
@@ -286,6 +384,7 @@ def analyze_planes(
     block_size: int,
     config: EncoderConfig,
     lpc_pre=None,
+    speculate: bool = False,
 ) -> PlaneAnalysis:
     """Full per-plane subframe decision (libFLAC/Encoder.zig:320-376).
 
@@ -294,7 +393,32 @@ def analyze_planes(
     ``@bitSizeOf(SampleT)``, not the real encoded width.
     ``sample_size``: the streaminfo bit depth (NOT +1 for side planes; the
     reference passes the raw depth to chooseSubframeEncoding).
+
+    Multi-dim batches are FLATTENED to one axis for the whole analysis and
+    unflattened at exit: with a 3D [P, N, X] working set, XLA's TPU layout
+    assignment shuffles the P axis through the layouts ({2,0,1} copies,
+    half-empty (4,128) sublane tiles, serialized kLoop fusions — measured
+    ~2 ms per 1024-frame batch); flat [P*N, X] tensors stay in natural
+    {1,0} layouts end to end. The boundary reshapes merge/split leading
+    axes only, so they are free.
     """
+    batch_shape = planes.shape[:-1]
+    if len(batch_shape) > 1:
+        m = int(np.prod(batch_shape))
+        nb = len(batch_shape)
+        flat = lambda x: x.reshape((m,) + x.shape[nb:])
+        if lpc_pre is not None:
+            lpc_pre = [
+                (o, flat(q), flat(s), flat(k)) for o, q, s, k in lpc_pre
+            ]
+        a = analyze_planes(
+            flat(planes), bits_of_t, sample_size, block_size, config,
+            lpc_pre=lpc_pre, speculate=speculate,
+        )
+        return PlaneAnalysis(
+            *[v if v.ndim == 0 else v.reshape(batch_shape + v.shape[1:])
+              for v in a]
+        )
     B = block_size
     assert planes.shape[-1] == B
     batch_shape = planes.shape[:-1]
@@ -322,6 +446,7 @@ def analyze_planes(
             qcoeffs=zq,
             qshift=z32,
             wasted=wasted,
+            sweep_unsafe=jnp.zeros((), bool),
         )
 
     order, ok, _totals = best_fixed_order(planes, wide)
@@ -329,8 +454,15 @@ def analyze_planes(
     max_param = min(
         30 if sample_size > 16 else MAX_RICE_PARAM_4BIT, config.max_rice_param
     )
-    rice_bits, method, part_order, params = rice_estimate(
-        residuals, order, B, config.max_rice_order, max_param
+    # zigzag bound for the u32 sweep split: samples are sample_size+1 bits
+    # at most (side planes), order-4 residuals gain 4 bits, zigzag 1 more
+    # wide (32-bit-depth) planes can push even fine-partition sums past
+    # 2^31 on ordinary content, so speculation is limited to i32 planes
+    speculate = speculate and not wide
+    rice_bits, method, part_order, params, sweep_unsafe = rice_estimate(
+        residuals, order, B, config.max_rice_order, max_param,
+        zz_bits=32 if wide else min(sample_size + 6, 32),
+        speculate=speculate,
     )
     # a wide-mode overflow disqualifies the fixed candidate entirely
     rice_bits = jnp.where(ok, rice_bits, U64_MAX)
@@ -353,9 +485,11 @@ def analyze_planes(
             l_res, l_fits = lpc_residuals(planes, l_q, l_shift, o)
             l_ok = l_okq & l_fits
             l_order = jnp.full(batch_shape, o, jnp.int32)
-            l_bits, l_method, l_po, l_params = rice_estimate(
-                l_res, l_order, B, config.max_rice_order, max_param
+            l_bits, l_method, l_po, l_params, l_unsafe = rice_estimate(
+                l_res, l_order, B, config.max_rice_order, max_param,
+                speculate=speculate,
             )
+            sweep_unsafe = sweep_unsafe | l_unsafe
             l_cost = l_bits + jnp.uint64(9 + o * config.lpc_precision)
             better = l_ok & (l_cost < rice_bits)
             rice_bits = jnp.where(better, l_cost, rice_bits)
@@ -391,39 +525,64 @@ def analyze_planes(
         qcoeffs=qcoeffs,
         qshift=qshift,
         wasted=wasted,
+        sweep_unsafe=sweep_unsafe,
     )
 
 
 class FrameWirePlan(NamedTuple):
     """Everything the packer needs, per frame, in wire-channel order.
 
-    Arrays are [N, n_wire, ...]; ``planes`` is int64 (covers the 33-bit side
-    channel), ``sample_size`` is per frame per wire channel (depth or
-    depth+1 for side planes).
+    Arrays are WIRE-MAJOR [W, N, ...] (``channels_code`` alone is [N]):
+    the whole analysis runs plane-major so every per-plane scalar tensor
+    is [P, N] with the frame batch on the MINOR axis. Batch-minor [N, P]
+    scalars make XLA's TPU layout assignment transpose them ({0,1,2}
+    layouts, lanes = frames) and that layout back-propagates into the big
+    [.., B] tensors, serializing the analysis fusions (measured ~4 ms of
+    a 1024-frame batch in transpose copies + serialized kLoop fusions).
+    ``planes`` is int64 (covers the 33-bit side channel), ``sample_size``
+    is per wire channel per frame (depth or depth+1 for side planes).
     """
 
     channels_code: jnp.ndarray  # i32 [N]
-    kind: jnp.ndarray           # i32 [N, W]
+    kind: jnp.ndarray           # i32 [W, N]
     order: jnp.ndarray
     method: jnp.ndarray
     part_order: jnp.ndarray
-    sample_size: jnp.ndarray    # i32 [N, W]
-    params: jnp.ndarray         # u8 [N, W, 256]
-    planes: jnp.ndarray         # i32 [N, W, B] (i64 iff depth 32 stereo)
-    residuals: jnp.ndarray      # i32 [N, W, B]
-    qcoeffs: jnp.ndarray        # i32 [N, W, 32]
-    qshift: jnp.ndarray         # i32 [N, W]
-    wasted: jnp.ndarray         # i32 [N, W]: shaved bits (0 unless enabled)
+    sample_size: jnp.ndarray    # i32 [W, N]
+    params: jnp.ndarray         # u8 [W, N, 256]
+    planes: jnp.ndarray         # i32 [W, N, B] (i64 iff depth 32 stereo)
+    residuals: jnp.ndarray      # i32 [W, N, B]
+    qcoeffs: jnp.ndarray        # i32 [W, N, 32]
+    qshift: jnp.ndarray         # i32 [W, N]
+    wasted: jnp.ndarray         # i32 [W, N]: shaved bits (0 unless enabled)
+    sweep_unsafe: jnp.ndarray   # bool scalar (see PlaneAnalysis)
+
+
+def _pre_plane_major(lpc_pre):
+    """Transpose each (order, qc [n, P, 32], shift [n, P], ok [n, P]) entry
+    to plane-major ([P, n, ...]) for the plane-major analysis. The arrays
+    are tiny (no [.., B] axis), so the transposes are free."""
+    if lpc_pre is None:
+        return None
+    return [
+        (o, jnp.moveaxis(q, 1, 0), jnp.moveaxis(s, 1, 0), jnp.moveaxis(k, 1, 0))
+        for o, q, s, k in lpc_pre
+    ]
 
 
 def plan_frames_indep(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None
+    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None,
+    speculate: bool = False,
 ) -> FrameWirePlan:
     """Independent channels: each analyzed and written as-is
     (libFLAC/Encoder.zig:242-247)."""
     n, c, B = frames.shape
-    a = analyze_planes(frames, 32, depth, B, config, lpc_pre=lpc_pre)
-    planes_w = frames >> a.wasted[..., None]
+    pm = jnp.moveaxis(frames, 1, 0)  # [c, n, B] plane-major
+    a = analyze_planes(
+        pm, 32, depth, B, config, lpc_pre=_pre_plane_major(lpc_pre),
+        speculate=speculate,
+    )
+    planes_w = pm >> a.wasted[..., None]
     return FrameWirePlan(
         channels_code=jnp.full((n,), c - 1, jnp.int32),
         kind=a.kind,
@@ -437,18 +596,21 @@ def plan_frames_indep(
         qcoeffs=a.qcoeffs,
         qshift=a.qshift,
         wasted=a.wasted,
+        sweep_unsafe=a.sweep_unsafe,
     )
 
 
 def _slice_pre(lpc_pre, sl):
-    """Slice each (order, qc, shift, ok) entry's plane axis (axis 1)."""
+    """Slice each plane-major (order, qc, shift, ok) entry's plane axis
+    (axis 0)."""
     if lpc_pre is None:
         return None
-    return [(o, q[:, sl], s[:, sl], k[:, sl]) for o, q, s, k in lpc_pre]
+    return [(o, q[sl], s[sl], k[sl]) for o, q, s, k in lpc_pre]
 
 
 def plan_frames_stereo(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None
+    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None,
+    speculate: bool = False,
 ) -> FrameWirePlan:
     """stereo_auto: build L/R/M/S planes, analyze all four, pick the mode
     with the first-min of {L+R, L+S, S+R, M+S}, and emit the two wire
@@ -461,71 +623,78 @@ def plan_frames_stereo(
     r64 = right.astype(jnp.int64)
     mid = ((l64 + r64) >> 1).astype(jnp.int32)
     side64 = l64 - r64
+    pre_pm = _pre_plane_major(lpc_pre)
 
     if depth == 32:
-        lrm = jnp.stack([left, right, mid], axis=1)  # [n, 3, B] i32
+        lrm = jnp.stack([left, right, mid], axis=0)  # [3, n, B] i32
         a3 = analyze_planes(
-            lrm, 32, depth, B, config, lpc_pre=_slice_pre(lpc_pre, slice(0, 3))
+            lrm, 32, depth, B, config,
+            lpc_pre=_slice_pre(pre_pm, slice(0, 3)), speculate=speculate,
         )
         a_s = analyze_planes(
-            side64, 64, depth, B, config, lpc_pre=_slice_pre(lpc_pre, 3)
+            side64, 64, depth, B, config, lpc_pre=_slice_pre(pre_pm, 3),
+            speculate=speculate,
         )
-        est = jnp.concatenate([a3.est_bits, a_s.est_bits[:, None]], axis=1)
-        kind = jnp.concatenate([a3.kind, a_s.kind[:, None]], axis=1)
-        order = jnp.concatenate([a3.order, a_s.order[:, None]], axis=1)
-        method = jnp.concatenate([a3.method, a_s.method[:, None]], axis=1)
+        est = jnp.concatenate([a3.est_bits, a_s.est_bits[None]], axis=0)
+        kind = jnp.concatenate([a3.kind, a_s.kind[None]], axis=0)
+        order = jnp.concatenate([a3.order, a_s.order[None]], axis=0)
+        method = jnp.concatenate([a3.method, a_s.method[None]], axis=0)
         part_order = jnp.concatenate(
-            [a3.part_order, a_s.part_order[:, None]], axis=1
+            [a3.part_order, a_s.part_order[None]], axis=0
         )
-        params = jnp.concatenate([a3.params, a_s.params[:, None]], axis=1)
+        params = jnp.concatenate([a3.params, a_s.params[None]], axis=0)
         residuals = jnp.concatenate(
-            [a3.residuals, a_s.residuals[:, None]], axis=1
+            [a3.residuals, a_s.residuals[None]], axis=0
         )
-        qcoeffs = jnp.concatenate([a3.qcoeffs, a_s.qcoeffs[:, None]], axis=1)
-        qshift = jnp.concatenate([a3.qshift, a_s.qshift[:, None]], axis=1)
-        wasted = jnp.concatenate([a3.wasted, a_s.wasted[:, None]], axis=1)
+        qcoeffs = jnp.concatenate([a3.qcoeffs, a_s.qcoeffs[None]], axis=0)
+        qshift = jnp.concatenate([a3.qshift, a_s.qshift[None]], axis=0)
+        wasted = jnp.concatenate([a3.wasted, a_s.wasted[None]], axis=0)
+        sweep_unsafe = a3.sweep_unsafe | a_s.sweep_unsafe
         planes_w = jnp.concatenate(
-            [lrm.astype(jnp.int64), side64[:, None]], axis=1
+            [lrm.astype(jnp.int64), side64[None]], axis=0
         ) >> wasted[..., None].astype(jnp.int64)
-        # [n, 4, B] — i64: the side channel is 33-bit at depth 32
+        # [4, n, B] — i64: the side channel is 33-bit at depth 32
     else:
         side = side64.astype(jnp.int32)
-        lrms = jnp.stack([left, right, mid, side], axis=1)  # [n, 4, B]
-        a = analyze_planes(lrms, 32, depth, B, config, lpc_pre=lpc_pre)
+        lrms = jnp.stack([left, right, mid, side], axis=0)  # [4, n, B]
+        a = analyze_planes(
+            lrms, 32, depth, B, config, lpc_pre=pre_pm, speculate=speculate
+        )
         est, kind, order, method = a.est_bits, a.kind, a.order, a.method
         part_order, params, residuals = a.part_order, a.params, a.residuals
         qcoeffs, qshift = a.qcoeffs, a.qshift
         wasted = a.wasted
+        sweep_unsafe = a.sweep_unsafe
         planes_w = lrms >> wasted[..., None]
         # i32: all planes fit (side <= depth+1 <= 25 bits)
 
     # mode sums in plane order [L, R, M, S] = indices 0,1,2,3
     sums = jnp.stack(
         [
-            est[:, 0] + est[:, 1],  # Indep
-            est[:, 0] + est[:, 3],  # LeftSide
-            est[:, 3] + est[:, 1],  # SideRight
-            est[:, 2] + est[:, 3],  # MidSide
+            est[0] + est[1],  # Indep
+            est[0] + est[3],  # LeftSide
+            est[3] + est[1],  # SideRight
+            est[2] + est[3],  # MidSide
         ],
-        axis=1,
+        axis=0,
     )
-    ch_type = jnp.argmin(sums, axis=1).astype(jnp.int32)  # first-min
+    ch_type = jnp.argmin(sums, axis=0).astype(jnp.int32)  # first-min, [n]
 
     # wire-channel planes per mode (L,R,M,S = 0,1,2,3): wire0 = [L,L,S,M],
     # wire1 = [R,S,R,S]. Elementwise selects, not gathers — per-element
-    # gathers over the big [n, 4, B] tensors lower poorly on TPU.
+    # gathers over the big [4, n, B] tensors lower poorly on TPU.
     def gather_ch(x):
         ct = ch_type.reshape(n, *([1] * (x.ndim - 2)))
-        w0 = jnp.where(ct <= 1, x[:, 0], jnp.where(ct == 2, x[:, 3], x[:, 2]))
-        w1 = jnp.where((ct == 0) | (ct == 2), x[:, 1], x[:, 3])
-        return jnp.stack([w0, w1], axis=1)
+        w0 = jnp.where(ct <= 1, x[0], jnp.where(ct == 2, x[3], x[2]))
+        w1 = jnp.where((ct == 0) | (ct == 2), x[1], x[3])
+        return jnp.stack([w0, w1], axis=0)
 
     # side sits at wire 0 for SideRight, wire 1 for LeftSide/MidSide; the
     # side channel is written with depth+1 bits (libFLAC/Encoder.zig:203-206);
     # wasted bits (extension) reduce the wire width per plane
     wasted_w = gather_ch(wasted)
-    ss0 = depth + (ch_type == 2).astype(jnp.int32) - wasted_w[:, 0]
-    ss1 = depth + ((ch_type == 1) | (ch_type == 3)).astype(jnp.int32) - wasted_w[:, 1]
+    ss0 = depth + (ch_type == 2).astype(jnp.int32) - wasted_w[0]
+    ss1 = depth + ((ch_type == 1) | (ch_type == 3)).astype(jnp.int32) - wasted_w[1]
 
     return FrameWirePlan(
         channels_code=jnp.where(ch_type == 0, 1, ch_type + 7).astype(jnp.int32),
@@ -533,22 +702,28 @@ def plan_frames_stereo(
         order=gather_ch(order),
         method=gather_ch(method),
         part_order=gather_ch(part_order),
-        sample_size=jnp.stack([ss0, ss1], axis=1),
+        sample_size=jnp.stack([ss0, ss1], axis=0),
         params=gather_ch(params),
         planes=gather_ch(planes_w),
         residuals=gather_ch(residuals),
         qcoeffs=gather_ch(qcoeffs),
         qshift=gather_ch(qshift),
         wasted=wasted_w,
+        sweep_unsafe=sweep_unsafe,
     )
 
 
 def plan_frames(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None
+    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None,
+    speculate: bool = False,
 ) -> FrameWirePlan:
     if config.stereo_auto:
-        return plan_frames_stereo(frames, depth, config, lpc_pre=lpc_pre)
-    return plan_frames_indep(frames, depth, config, lpc_pre=lpc_pre)
+        return plan_frames_stereo(
+            frames, depth, config, lpc_pre=lpc_pre, speculate=speculate
+        )
+    return plan_frames_indep(
+        frames, depth, config, lpc_pre=lpc_pre, speculate=speculate
+    )
 
 
 def plan_lag_sums(

@@ -37,10 +37,16 @@ class SymbolBlock(NamedTuple):
     nbv: jnp.ndarray  # i32 [N, S] deposited bits
 
 
-# Compacted frames start on ALIGN_W-word (32-byte) boundaries: the stream
-# compaction gather then moves whole 8-word rows instead of single words
-# (8x fewer serialized gather rows on TPU), at <=31 pad bytes per frame.
-ALIGN_W = 8
+# Compacted frames start on ALIGN_W-word (512-byte) boundaries: the stream
+# compaction gather then moves whole 128-word rows — one full lane tile
+# each, so the [rows, ALIGN_W] gather operand needs no relayout and the row
+# count is 128x smaller than per-word (measured: the 8-word variant spent
+# ~2.9 ms/1024-frame batch in a reshape + {0,1} copy + gather; 128 words
+# runs the same region in ~0.7 ms). Cost: <=508 pad bytes per frame of
+# device memory and d2h volume (~2.5% for typical 10 KB frames) — the pad
+# never reaches the FLAC bytes (the host drops it during assembly, and the
+# capacity ladder's slack term scales with ALIGN_W).
+ALIGN_W = 128
 
 
 def _u64(x) -> jnp.ndarray:
@@ -439,24 +445,24 @@ def frame_symbol_stream(
     nb_parts = [hdr.nb]
     dep_val_parts = [hdr.val]
     dep_nbv_parts = [hdr.nbv]
-    n_wire = plan.kind.shape[1]
+    n_wire = plan.kind.shape[0]  # plan arrays are wire-major [W, N, ...]
     for c in range(n_wire):
         nb_full, dep_val, dep_nbv = channel_symbols(
-            plan.kind[:, c],
-            plan.order[:, c],
-            plan.method[:, c],
-            plan.part_order[:, c],
-            plan.sample_size[:, c],
-            plan.params[:, c],
-            plan.planes[:, c],
-            plan.residuals[:, c],
-            plan.qcoeffs[:, c],
-            plan.qshift[:, c],
+            plan.kind[c],
+            plan.order[c],
+            plan.method[c],
+            plan.part_order[c],
+            plan.sample_size[c],
+            plan.params[c],
+            plan.planes[c],
+            plan.residuals[c],
+            plan.qcoeffs[c],
+            plan.qshift[c],
             block_size,
             max_rice_order,
             lpc_order=lpc_order,
             lpc_precision=lpc_precision,
-            wasted=plan.wasted[:, c],
+            wasted=plan.wasted[c],
         )
         nb_parts.append(nb_full)
         dep_val_parts.append(dep_val)
@@ -475,7 +481,8 @@ def deposit_stream_windowed(
     nbv: jnp.ndarray,
     max_words: int,
     chunk: int = 128,
-    win_rows: int = 4,
+    win_rows: int = 8,
+    row_words: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-XLA windowed binning of the pair-merged deposit stream — no
     Pallas, no scatter, MXU for the window combine.
@@ -484,87 +491,108 @@ def deposit_stream_windowed(
 
     1. WINDOWS: each chunk of ``chunk`` consecutive merged deposits spans a
        bounded range (monotone keys), so its contributions bin into a
-       [win_rows * 128]-word window starting at its first key aligned DOWN
-       to a 128-word row. One fused compare-against-iota reduction per
-       chunk — the same arithmetic as the Pallas kernel, scheduled by XLA.
+       [win_rows * row_words]-word window starting at its first key aligned
+       DOWN to a row_words-word row. One fused compare-against-iota
+       reduction per chunk — the same arithmetic as the Pallas kernel,
+       scheduled by XLA. Stage-1 cost is proportional to W = win_rows *
+       row_words, so finer rows (32 words) beat 128-word rows: the
+       alignment remainder shrinks from <=127 to <=row_words-1 and W drops
+       384 -> 256 for the same content span bound.
     2. COMBINE: window w of chunk c holds output rows ``base_c .. base_c +
-       win_rows`` (128-word rows). Overlap-adding all windows into the
-       frame's output rows is a one-hot matmul over row keys: windows
-       split into 4 bf16 byte planes ([N, K, 128] each), multiplied by the
-       [N, R, K] row-key one-hot on the MXU, and reassembled. Disjoint bit
-       ranges make every per-(word, byte) sum <= 255, exactly
+       win_rows`` (row_words-word rows). Overlap-adding all windows into
+       the frame's output rows is a one-hot matmul over row keys: windows
+       split into 4 bf16 byte planes ([N, K, row_words] each), multiplied
+       by the [N, R, K] row-key one-hot on the MXU, and reassembled.
+       Disjoint bit ranges make every per-(word, byte) sum <= 255, exactly
        representable in bf16/f32 — the matmul is bit-exact.
 
     Returns (words u32 [N, max_words], overflow bool); overflow ORs the
     window-span check with merge-impossibility, and the caller falls back
     to the exact segment-sum path (same protocol as the Pallas kernel).
     """
-    from .pallas_deposit import _merge_pairs, _split3
+    from .pallas_deposit import _merge_pairs, _split2d
 
     d_cum, val, nbv, cannot = _merge_pairs(d_cum, val, nbv)
-    w0, s0, s1, s2 = _split3(d_cum, val, nbv)
-    n, s = w0.shape
-    W = win_rows * 128
+    dw0, s0, s1, s2, s3 = _split2d(d_cum, val, nbv)
+    n, s = dw0.shape
+    W = win_rows * row_words
+    Wd = W // 2  # window size in 64-bit dwords
     # rows beyond the word budget clamp into slack rows past max_words
     # (monotone preserved); frames that needed them trip the caller's
     # capacity check, so the slack garbage is never read
-    w0 = jnp.minimum(w0, max_words + 1)
+    dw0 = jnp.minimum(dw0, (max_words >> 1) + 1)
     s_pad = -(-max(s, chunk) // chunk) * chunk
     if s_pad != s:
         padn = s_pad - s
-        w0 = jnp.concatenate(
-            [w0, jnp.broadcast_to(w0[:, -1:], (n, padn))], axis=1
+        dw0 = jnp.concatenate(
+            [dw0, jnp.broadcast_to(dw0[:, -1:], (n, padn))], axis=1
         )
-        z = jnp.zeros((n, padn), w0.dtype)
-        s0 = jnp.concatenate([s0, z.astype(jnp.uint32)], axis=1)
-        s1 = jnp.concatenate([s1, z.astype(jnp.uint32)], axis=1)
-        s2 = jnp.concatenate([s2, z.astype(jnp.uint32)], axis=1)
+        z = jnp.zeros((n, padn), jnp.uint32)
+        s0 = jnp.concatenate([s0, z], axis=1)
+        s1 = jnp.concatenate([s1, z], axis=1)
+        s2 = jnp.concatenate([s2, z], axis=1)
+        s3 = jnp.concatenate([s3, z], axis=1)
     nch = s_pad // chunk
 
-    w0r = w0.reshape(n, nch, chunk)
-    base_row = w0r[:, :, 0] >> 7  # [N, nch] 128-word output row of chunk
-    rel = w0r - (base_row[:, :, None] << 7)  # [0, W-3] given span check
-    overflow = jnp.any(rel > W - 3) | cannot
+    row_sh = row_words.bit_length() - 1
+    assert row_words == 1 << row_sh and row_words >= 2
+    dwr = dw0.reshape(n, nch, chunk)
+    base_row = dwr[:, :, 0] >> (row_sh - 1)  # [N, nch] output row of chunk
+    rel = dwr - (base_row[:, :, None] << (row_sh - 1))  # in-window dword
+    overflow = jnp.any(rel > Wd - 2) | cannot
 
-    # stage 1: per-chunk windows [N, nch, W] (i32, wrapping add == or).
-    # The deposit axis is the MINOR axis of the virtual 4D compare tensor:
-    # measured on v5e, a deposit-major layout breaks XLA's reduce fusion
-    # and spills the ~5 GB intermediate to HBM (~11 ms); minor-axis with
-    # chunk=128 (exactly one lane tile) fuses fully and runs at VPU
-    # compute throughput (~5 ms -> this stage ~3-5 ms).
-    tio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
-    relx = rel[:, :, None, :]
+    # stage 1: per-chunk windows binned at DWORD granularity (i32 adds of
+    # disjoint-bit values == or). Each deposit spans at most two dwords,
+    # expressed as two VIRTUAL deposits on a doubled chunk axis — one slot
+    # compare each with two word outputs — so the compare work is
+    # (2*chunk) * Wd * (1 cmp + 2 sel + 2 add), ~45% less than 3-word
+    # binning at chunk * W * (3 cmp + 3 sel + 3 add). The deposit axis is
+    # the MINOR axis of the virtual 4D compare tensor: measured on v5e, a
+    # deposit-major layout breaks XLA's reduce fusion and spills the
+    # intermediate to HBM; minor-axis chunks fuse fully and run at VPU
+    # compute throughput.
+    def cc(a, b):
+        ai = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(n, nch, 1, 1, chunk)
+        bi = jax.lax.bitcast_convert_type(b, jnp.int32).reshape(n, nch, 1, 1, chunk)
+        return jnp.concatenate([ai, bi], axis=4)
+
+    # ONE reduce for both word planes: two sibling reduces sharing the hit
+    # predicate make XLA materialize the [N, nch, Wd, 2chunk] pred tensor
+    # to HBM between them (measured ~2.7 ms); a single reduce over the
+    # stacked plane axis recomputes the compare inline and never spills.
+    tio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Wd, 1), 3)
+    relx = rel[:, :, None, None, :]
+    relcat = jnp.concatenate([relx, relx + 1], axis=4)  # [N, nch, 1, 1, 2c]
+    planes01 = jnp.concatenate(
+        [cc(s0, s2), cc(s1, s3)], axis=2
+    )  # [N, nch, 2, 1, 2chunk]
     z32 = jnp.int32(0)
-    acc = (
-        jnp.where(
-            relx == tio, jax.lax.bitcast_convert_type(s0, jnp.int32)
-            .reshape(n, nch, 1, chunk), z32)
-        + jnp.where(
-            relx + 1 == tio, jax.lax.bitcast_convert_type(s1, jnp.int32)
-            .reshape(n, nch, 1, chunk), z32)
-        + jnp.where(
-            relx + 2 == tio, jax.lax.bitcast_convert_type(s2, jnp.int32)
-            .reshape(n, nch, 1, chunk), z32)
-    ).sum(axis=3, dtype=jnp.int32)  # [N, nch, W]
+    acc = jnp.where(relcat == tio, planes01, z32).sum(
+        axis=4, dtype=jnp.int32
+    )  # [N, nch, 2, Wd]
+    # interleave the per-dword word pairs back to stream words [N, nch, W]
+    acc = jnp.moveaxis(acc, 2, 3).reshape(n, nch, W)
 
-    # stage 2: overlap-add via one-hot matmul over 128-word output rows
+    # stage 2: overlap-add via one-hot matmul over row_words-word rows
     K = nch * win_rows
-    winb = acc.reshape(n, K, 128)
+    winb = acc.reshape(n, K, row_words)
     keys = base_row[:, :, None] + jnp.arange(win_rows, dtype=jnp.int32)
     keys = keys.reshape(n, K)  # output row of each window row
-    R = (max_words + 2) // 128 + win_rows + 1
+    R = (max_words + 2) // row_words + win_rows + 1
     onehot = (
         keys[:, None, :] == jnp.arange(R, dtype=jnp.int32)[None, :, None]
     ).astype(jnp.bfloat16)  # [N, R, K]
-    out = jnp.zeros((n, R, 128), jnp.int32)
+    out = jnp.zeros((n, R, row_words), jnp.int32)
     for b in range(4):
         plane = ((winb >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
         summed = jax.lax.dot_general(
             onehot, plane, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [N, R, 128]; each entry <= 255 (disjoint bits), exact
+        )  # [N, R, row_words]; each entry <= 255 (disjoint bits), exact
         out = out + (summed.astype(jnp.int32) << (8 * b))
-    words = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(n, R * 128)
+    words = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(
+        n, R * row_words
+    )
     return words[:, :max_words], overflow
 
 
@@ -579,6 +607,7 @@ def pack_frames(
     lpc_precision: int = 14,
     deposit: str = "segsum",
     interpret: bool = False,
+    depth: int = 24,
 ):
     """Full frames (header + subframes) -> (words u32 [N, W], total_bits).
 
@@ -601,14 +630,25 @@ def pack_frames(
         )
         if deposit == "windowed":
             # chunk/window sizing: the chunk is one full lane tile (128);
-            # 128 merged deposits span <=254 words within a 3-row window
-            # (remainder <=127 + span + spill) — 24-bit escape pairs cap at
-            # ~2*26 bits = 208 words, leaving quotient slack. 33-bit side
-            # channels (i64 planes) can hit 268 payload words, so they
-            # take a 4-row window.
-            wr = 4 if plan.planes.dtype == jnp.int64 else 3
+            # windows align to 32-word rows (remainder <=31), so a window
+            # needs remainder + content span + 3 spill words. The span is
+            # depth-bound: a sustained merged-pair width beyond
+            # 2*(depth+2) bits (escape samples <= depth+1 plus a 5-bit
+            # param column) implies the estimator would have chosen
+            # verbatim (pairs = 2*depth+2 for the side plane), so heavier
+            # chunks only arise on adversarial content, where the
+            # overflow flag falls back to the exact path. depth 16 -> 6
+            # rows (192 words), depth 24 -> 8 (256); 33-bit side
+            # channels (i64 planes) can hit 268 payload words -> 10
+            # rows (320).
+            if plan.planes.dtype == jnp.int64:
+                wr = 10
+            else:
+                span = (128 * 2 * (depth + 2) + 31) // 32
+                wr = -(-(span + 31 + 3) // 32)
             main_words, overflow = deposit_stream_windowed(
-                dep_cum, dep_val, dep_nbv, max_words, chunk=128, win_rows=wr
+                dep_cum, dep_val, dep_nbv, max_words, chunk=128,
+                win_rows=wr, row_words=32,
             )
         else:
             from .pallas_deposit import deposit_stream_binned

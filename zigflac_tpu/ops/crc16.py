@@ -62,19 +62,29 @@ def crc16_words(words: jnp.ndarray, byte_len: jnp.ndarray) -> jnp.ndarray:
     max_bytes = w * 4
     t1_np, inv_np, r24_np = _static_tables(max_bytes)
 
-    # bytes [N, W, 4]: byte 0 of each word is its most significant byte
-    shifts = jnp.asarray(np.array([24, 16, 8, 0], np.uint32))
-    b = (words[..., None] >> shifts) & jnp.uint32(0xFF)  # [N, W, 4] u32
-    b = b.reshape(n, max_bytes)
-
-    # contribution of byte j: clmul8x16(b_j, t1[maxB-1-j]) reduced mod G
-    t = jnp.asarray(t1_np[::-1].astype(np.uint32))  # [maxB], position-indexed
-    p = jnp.zeros((n, max_bytes), jnp.uint32)
-    for i in range(8):
-        p = p ^ jnp.where((b >> i) & 1 == 1, t << i, 0)
-    # reduce the 23-bit product mod G bitwise (a 128-entry table gather
-    # lowers as per-element gathers on TPU; 7 selects stay on the VPU)
-    for i in range(22, 15, -1):
+    # contribution of each WORD via its two 16-bit halves — no [N, 4W]
+    # byte expansion (4x the traffic of the word buffer; measured ~1.2 ms
+    # per 1024-frame batch): clmul16x16 products stay < 2^31, so the
+    # whole sweep runs on the [N, W] u32 tensor directly. The half at
+    # half-index h multiplies by x^(16*(2W-1-h)+16) = byte-table[2h+1].
+    tpos = t1_np[::-1].astype(np.uint32)  # [maxB], byte-position-indexed
+    t_hi = jnp.asarray(tpos[1::4])  # [W] multiplier of word j's high half
+    t_lo = jnp.asarray(tpos[3::4])  # [W] multiplier of word j's low half
+    hi = words >> jnp.uint32(16)
+    lo = words & jnp.uint32(0xFFFF)
+    p = jnp.zeros((n, w), jnp.uint32)
+    z = jnp.uint32(0)
+    for i in range(16):
+        bit = jnp.uint32(1 << i)
+        sh = jnp.uint32(i)
+        p = (
+            p
+            ^ jnp.where(hi & bit != 0, t_hi << sh, z)
+            ^ jnp.where(lo & bit != 0, t_lo << sh, z)
+        )
+    # reduce the 31-bit product mod G bitwise (a table gather lowers as
+    # per-element gathers on TPU; 15 selects stay on the VPU)
+    for i in range(30, 15, -1):
         p = jnp.where((p >> i) & 1 == 1, p ^ jnp.uint32(CRC16_POLY << (i - 16)), p)
     contrib = p & jnp.uint32(0xFFFF)
     # xor-reduce via halving tree: custom lax.reduce computations can

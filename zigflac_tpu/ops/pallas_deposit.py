@@ -209,6 +209,47 @@ def _merge_pairs(d_cum, val, nbv):
     return cb, (hm, lm), nm, cannot
 
 
+def _split2d(d_cum, val, nbv):
+    """Per-deposit first-DWORD index + four u32 word contributions: a
+    <=64-bit value at any bit offset spans at most TWO 64-bit dwords
+    (words [2*dw0 .. 2*dw0+3]), so dword-granular binning needs only two
+    slot compares per deposit where word-granular needs three, over half
+    the slots. Left-justify the value in the 128-bit window starting at
+    its first dword: shift 128 - r - nbv with r the in-dword bit offset.
+    Returns (dw0, s0, s1, s2, s3) with s_i the contribution to word
+    2*dw0 + i (MSB-first stream order)."""
+    if isinstance(val, tuple):
+        vh, vl = val
+    else:
+        vh = (val >> jnp.uint64(32)).astype(jnp.uint32)
+        vl = val.astype(jnp.uint32)
+    d_start = d_cum - nbv
+    dw0 = (d_start >> 6).astype(jnp.int32)
+    r = (d_start & 63).astype(jnp.int32)
+    sh = 128 - r - nbv  # in [1, 127]; nbv == 0 rows are masked below
+    # v << sh over limbs: sh = 32*k + b with k in {0..3}, b in [0, 31]
+    k = sh >> 5
+    b = sh & 31
+    a2, a1, a0 = _shl_pair(vh, vl, b)
+    z = jnp.uint32(0)
+    k1 = k == 1
+    k2 = k == 2
+    k3 = k == 3
+    # stream word i of the window = limb (3 - i) of (v << sh)
+    s0 = jnp.where(k3, a0, jnp.where(k2, a1, jnp.where(k1, a2, z)))
+    s1 = jnp.where(k3, z, jnp.where(k2, a0, jnp.where(k1, a1, a2)))
+    s2 = jnp.where(k3, z, jnp.where(k2, z, jnp.where(k1, a0, a1)))
+    s3 = jnp.where(k3, z, jnp.where(k2, z, jnp.where(k1, z, a0)))
+    live = nbv > 0
+    return (
+        dw0,
+        jnp.where(live, s0, z),
+        jnp.where(live, s1, z),
+        jnp.where(live, s2, z),
+        jnp.where(live, s3, z),
+    )
+
+
 def _split3(d_cum, val, nbv):
     """Per-deposit word index + three u32 word contributions (a <=64-bit
     value at any bit offset spans at most 3 output words). Left-justify the

@@ -41,7 +41,8 @@ _MESHES = {}
 
 
 def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
-                          hstatic, block_size, max_words, capb, deposit):
+                          hstatic, block_size, max_words, capb, deposit,
+                          speculate):
     """Per-shard production compact-stream encode: each chip packs and
     byte-compacts its local frames; the host assembles shard streams in
     frame order. The metadata row grows one entry: the global overflow
@@ -55,7 +56,7 @@ def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
     stream, meta = _encode_batch_compact(
         frames, frame_numbers, *lpc_args, config=config, depth=depth,
         hstatic=hstatic, block_size=block_size, max_words=max_words,
-        capb=capb, deposit=deposit,
+        capb=capb, deposit=deposit, speculate=speculate,
     )
     # meta = [frame_bytes..., total_words, overflow_local]; append the
     # cross-shard any-overflow
@@ -79,8 +80,12 @@ def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
     n_wire = 2 if config.stereo_auto else c
     stream_ratio, words_ratio = CAPACITY_LADDER[tier]
     max_words = max_frame_words(block_size, n_wire, depth, words_ratio)
+    from ..ops.bitpack import ALIGN_W
+
     raw_bytes = batch_local * block_size * c * max(depth, 8) // 8
-    capb = int(raw_bytes * stream_ratio) + 64 * batch_local
+    # slack mirrors pipeline._compiled_encode_compact: per-frame ALIGN_W
+    # group round-up + headroom
+    capb = int(raw_bytes * stream_ratio) + (4 * ALIGN_W + 32) * batch_local
     fn = partial(
         _encode_shard_compact,
         config=config,
@@ -90,6 +95,7 @@ def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
         max_words=max_words,
         capb=capb,
         deposit=deposit,
+        speculate=tier == 0,
     )
     mapped = jax.shard_map(
         fn,
