@@ -250,6 +250,55 @@ static PyObject* py_crc16(PyObject*, PyObject* args) {
   return PyLong_FromUnsignedLong(crc);
 }
 
+// Ogg page CRC-32: poly 0x04C11DB7, non-reflected, init 0, no final xor
+// (the container layer for Ogg-FLAC transmuxing; same slice-by-8 scheme as
+// the frame CRC-16 above)
+static uint32_t crc32o_table[8][256];
+static void init_crc32o() {
+  for (int b = 0; b < 256; b++) {
+    uint32_t crc = (uint32_t)b << 24;
+    for (int i = 0; i < 8; i++)
+      crc = (crc & 0x80000000u) ? (crc << 1) ^ 0x04C11DB7u : crc << 1;
+    crc32o_table[0][b] = crc;
+  }
+  for (int t = 1; t < 8; t++)
+    for (int b = 0; b < 256; b++) {
+      uint32_t c = crc32o_table[t - 1][b];
+      crc32o_table[t][b] = crc32o_table[0][(c >> 24) & 0xFF] ^ (c << 8);
+    }
+}
+
+static inline uint32_t crc32o_update(uint32_t crc, const uint8_t* p,
+                                     size_t n) {
+  while (n >= 8) {
+    uint32_t x = crc;
+    crc = crc32o_table[7][p[0] ^ ((x >> 24) & 0xFF)] ^
+          crc32o_table[6][p[1] ^ ((x >> 16) & 0xFF)] ^
+          crc32o_table[5][p[2] ^ ((x >> 8) & 0xFF)] ^
+          crc32o_table[4][p[3] ^ (x & 0xFF)] ^ crc32o_table[3][p[4]] ^
+          crc32o_table[2][p[5]] ^ crc32o_table[1][p[6]] ^
+          crc32o_table[0][p[7]];
+    p += 8;
+    n -= 8;
+  }
+  while (n--)
+    crc = crc32o_table[0][((crc >> 24) ^ *p++) & 0xFF] ^ (crc << 8);
+  return crc;
+}
+
+static PyObject* py_crc32_ogg(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  unsigned int init = 0;
+  if (!PyArg_ParseTuple(args, "y*|I", &buf, &init)) return nullptr;
+  uint32_t crc;
+  Py_BEGIN_ALLOW_THREADS
+  crc = crc32o_update((uint32_t)init, (const uint8_t*)buf.buf,
+                      (size_t)buf.len);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  return PyLong_FromUnsignedLong(crc);
+}
+
 static PyObject* py_crc8(PyObject*, PyObject* args) {
   Py_buffer buf;
   unsigned int init = 0;
@@ -689,6 +738,7 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
   std::vector<int64_t> values, qcoeffs;
   std::vector<int32_t> sow, chcode;
   std::vector<int64_t> fnum;
+  std::vector<int64_t> fend;  // byte offset just past each frame
   std::vector<uint8_t> crc_ok;
   int batch_bs = -1;
   size_t pos = (size_t)start;
@@ -756,6 +806,7 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
     fnum.push_back(fn);
     crc_ok.push_back(crc_good ? 1 : 0);
     pos = body_end + 2;
+    fend.push_back((int64_t)pos);
     nframes++;
   }
   Py_END_ALLOW_THREADS
@@ -778,9 +829,11 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
       (const char*)fnum.data(), (Py_ssize_t)(fnum.size() * 8));
   PyObject* pk = PyBytes_FromStringAndSize(
       (const char*)crc_ok.data(), (Py_ssize_t)crc_ok.size());
-  return Py_BuildValue("(nnnNNNNNN)", (Py_ssize_t)nframes, (Py_ssize_t)pos,
+  PyObject* pe = PyBytes_FromStringAndSize(
+      (const char*)fend.data(), (Py_ssize_t)(fend.size() * 8));
+  return Py_BuildValue("(nnnNNNNNNN)", (Py_ssize_t)nframes, (Py_ssize_t)pos,
                        (Py_ssize_t)(batch_bs < 0 ? 0 : batch_bs), pv, pq, ps,
-                       pc, pf, pk);
+                       pc, pf, pk, pe);
 }
 
 // synthesize(values, qcoeffs, sow, chcode, n, C, B) -> bytes (i64 samples,
@@ -1008,6 +1061,8 @@ static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
 }
 
 static PyMethodDef methods[] = {
+    {"crc32_ogg", py_crc32_ogg, METH_VARARGS,
+     "Ogg page CRC-32 (0x04C11DB7, non-reflected), slice-by-8"},
     {"parse_frames", py_parse_frames, METH_VARARGS,
      "batch-parse FLAC frames into device-synthesis form"},
     {"decode_frames_pcm", py_decode_frames_pcm, METH_VARARGS,
@@ -1035,5 +1090,6 @@ static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_zf_native",
 
 PyMODINIT_FUNC PyInit__zf_native(void) {
   init_crc_tables();
+  init_crc32o();
   return PyModule_Create(&moduledef);
 }

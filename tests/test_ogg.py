@@ -1,0 +1,122 @@
+"""Ogg-FLAC container: page-level round trips, lacing edges, CRC
+tamper detection, and full encode->transmux->decode byte identity.
+(Framework extension — the reference has no container work at all.)"""
+
+import io
+
+import numpy as np
+import pytest
+
+from zigflac_tpu import ogg
+from zigflac_tpu.models.encoder import encode_wav_bytes
+from zigflac_tpu.wav import write_wav
+
+
+def _wav_bytes(seconds=0.5, rate=44100, seed=5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * rate))
+    x = 8000 * np.sin(2 * np.pi * 440 * t / rate) + rng.normal(0, 90, (2, t.size))
+    buf = io.BytesIO()
+    write_wav(buf, np.clip(np.round(x), -32768, 32767).astype(np.int32), rate, 16)
+    return buf.getvalue()
+
+
+def _page_roundtrip(packets, granules):
+    out = io.BytesIO()
+    w = ogg.OggPageWriter(out)
+    for i, (p, g) in enumerate(zip(packets, granules)):
+        w.add_packet(p, g)
+    w.close(granules[-1] if granules else 0)
+    got = [p for p, _g in ogg.OggPageReader(out.getvalue()).packets()]
+    assert got == packets
+
+
+def test_page_writer_reader_roundtrip_sizes():
+    """Lacing edge cases: empty, <255, exactly 255, multiple-of-255 (the
+    0-lacing terminator), and page-spanning (>64 KB) packets."""
+    rng = np.random.default_rng(0)
+    sizes = [0, 1, 254, 255, 256, 510, 1020, 65025, 70000, 255 * 255 + 3]
+    packets = [rng.integers(0, 256, s, dtype=np.uint8).tobytes() for s in sizes]
+    _page_roundtrip(packets, list(range(1, len(packets) + 1)))
+
+
+def test_page_crc_detects_corruption():
+    out = io.BytesIO()
+    w = ogg.OggPageWriter(out)
+    w.add_packet(b"hello ogg", 1, flush=True)
+    w.close(1)
+    data = bytearray(out.getvalue())
+    data[30] ^= 0x41  # flip a payload byte (header 27 + lacing 1 + body)
+    with pytest.raises(ValueError, match="CRC"):
+        list(ogg.OggPageReader(bytes(data)).packets())
+
+
+def test_ogg_crc_known_vector():
+    # poly 0x04C11DB7, init 0, refin/refout false, xorout 0
+    assert ogg.ogg_crc(b"123456789") == 0x89A1897F
+
+
+def test_transmux_roundtrip_byte_identical():
+    flac = encode_wav_bytes(_wav_bytes(), backend="golden")
+    out = io.BytesIO()
+    ogg.flac_to_ogg(flac, out)
+    oga = out.getvalue()
+    assert ogg.is_ogg(oga)
+    assert ogg.ogg_to_flac(oga) == flac
+    # first page carries the BOS flag and only the first packet
+    assert oga[5] & 0x02
+    # mapping header
+    pkts = ogg.OggPageReader(oga).packets()
+    first, g0 = next(pkts)
+    assert first[:5] == b"\x7fFLAC" and first[9:13] == b"fLaC"
+    assert g0 == 0
+
+
+def test_transmux_preserves_metadata_blocks():
+    from zigflac_tpu.decoder import decode_flac
+    from zigflac_tpu.metadata import vorbis_comment_block
+
+    flac = encode_wav_bytes(
+        _wav_bytes(seconds=0.3),
+        backend="golden",
+        tags=[("TITLE", "ogg test"), ("ARTIST", "zigflac")],
+    )
+    out = io.BytesIO()
+    ogg.flac_to_ogg(flac, out)
+    back = ogg.ogg_to_flac(out.getvalue())
+    assert back == flac
+    dec = decode_flac(back, backend="host")
+    assert ("TITLE", "ogg test") in dec.tags
+
+
+def test_granule_positions_accumulate():
+    flac = encode_wav_bytes(_wav_bytes(seconds=0.6), backend="golden")
+    out = io.BytesIO()
+    ogg.flac_to_ogg(flac, out)
+    grans = [g for _p, g in ogg.OggPageReader(out.getvalue()).packets()]
+    audio = [g for g in grans if g > 0]
+    assert audio == sorted(audio)
+    assert audio[-1] == int(0.6 * 44100)
+
+
+def test_decode_file_autodetects_ogg(tmp_path):
+    from zigflac_tpu.decoder import decode_file
+
+    wav = _wav_bytes(seconds=0.4)
+    flac = encode_wav_bytes(wav, backend="golden")
+    oga_path = tmp_path / "x.oga"
+    out = io.BytesIO()
+    ogg.flac_to_ogg(flac, out)
+    oga_path.write_bytes(out.getvalue())
+    wav_out = tmp_path / "x.wav"
+    decode_file(str(oga_path), str(wav_out), verify=True)
+    assert wav_out.read_bytes() == wav
+
+
+def test_ogg_rejects_non_flac_stream():
+    out = io.BytesIO()
+    w = ogg.OggPageWriter(out)
+    w.add_packet(b"\x01vorbis-not-flac", 0, flush=True)
+    w.close(0)
+    with pytest.raises(ValueError, match="Ogg-FLAC"):
+        ogg.ogg_to_flac(out.getvalue())

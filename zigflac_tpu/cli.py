@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="embed a front-cover PICTURE block (jpeg/png file)",
     )
     p.add_argument(
+        "--ogg", action="store_true",
+        help="write Ogg-FLAC (.oga) instead of native FLAC (encode side; "
+        "decode auto-detects the container). Implied by a .oga/.ogg "
+        "output extension",
+    )
+    p.add_argument(
         "--profile", metavar="DIR", default=None,
         help="dump a jax.profiler trace of the encode to DIR (plus stage "
         "timings to stderr)",
@@ -254,12 +260,31 @@ def main(argv=None) -> int:
                 "image/png" if img[:8] == b"\x89PNG\r\n\x1a\n" else "image/jpeg"
             )
             extra = [picture_block(img, mime, is_last=False)]
+        want_ogg = args.ogg or args.output.lower().endswith((".oga", ".ogg"))
+        native_out = args.output + ".native.tmp" if want_ogg else args.output
         t0 = time.perf_counter()
         encode_file(
-            args.input, args.output, config=cfg, backend=args.backend,
+            args.input, native_out, config=cfg, backend=args.backend,
             tags=tags or None, seek_interval=seek_interval,
             padding=args.padding, extra_metadata=extra,
         )
+        if want_ogg:
+            # transmux the finished native stream into the Ogg container
+            # (frame boundaries come from the native parser, which also
+            # CRC-verifies every frame it wraps)
+            import mmap as _mmap
+            import os as _os
+
+            from .ogg import flac_to_ogg
+
+            with open(native_out, "rb") as nf:
+                nm = _mmap.mmap(nf.fileno(), 0, access=_mmap.ACCESS_READ)
+                try:
+                    with open(args.output, "wb") as of:
+                        flac_to_ogg(bytes(nm), of)
+                finally:
+                    nm.close()
+            _os.remove(native_out)
         dt = time.perf_counter() - t0
         if profiler is not None:
             profiler.profiler.stop_trace()
@@ -292,7 +317,12 @@ def main(argv=None) -> int:
         from .decoder import verify_flac
 
         with open(args.output, "rb") as f:
-            ok = verify_flac(f.read())
+            data = f.read()
+        if data[:4] == b"OggS":
+            from .ogg import ogg_to_flac
+
+            data = ogg_to_flac(data)
+        ok = verify_flac(data)
         if not ok:
             print("verify: FAILED", file=sys.stderr)
             return 3

@@ -339,7 +339,7 @@ def _decode_batch(
 
     C = info.channels
     try:
-        (n, end, B, vb, qb, sb, cb, fb, kb) = _n.parse_frames(
+        (n, end, B, vb, qb, sb, cb, fb, kb, eb) = _n.parse_frames(
             data, pos, max_frames, info.bit_depth, C
         )
     except ValueError as e:
@@ -488,6 +488,20 @@ def decode_file(
     with open(input_path, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         try:
+            if mm[:4] == b"OggS":
+                # Ogg-FLAC input: strip the container first (page CRCs
+                # verified). The native stream is held in memory for the
+                # decode — unlike the mmap path this is O(file), which is
+                # fine for the container use case; a page-streaming
+                # transmux can bound it later if needed.
+                from .ogg import ogg_to_flac
+
+                try:
+                    native_stream = ogg_to_flac(bytes(mm), verify_crc=check_crc)
+                except ValueError as e:
+                    raise FlacDecodeError(str(e)) from e
+                mm.close()
+                mm = native_stream  # bytes quack enough for the loop below
             info, _vendor, _tags, _seek, pos = _parse_metadata(mm)
             md5 = _native.Md5Stream() if verify else None
             total = 0
@@ -584,7 +598,8 @@ def decode_file(
                     raise FlacDecodeError("MD5 mismatch")
             return info
         finally:
-            mm.close()
+            if hasattr(mm, "close"):  # bytes after an Ogg transmux
+                mm.close()
 
 
 def decode_range(

@@ -1,0 +1,288 @@
+"""Ogg-FLAC container support (Ogg encapsulation mapping 1.0).
+
+The reference tool is WAV -> native-FLAC only (/root/reference/readme.md
+lists no container work); this module is a framework extension: lossless
+transmuxing between native FLAC streams and Ogg-FLAC (.oga), in both
+directions.
+
+Mapping summary (xiph Ogg-FLAC mapping 1.0):
+
+* packet 1 (alone on the first page, BOS): ``0x7F 'FLAC' <major=1>
+  <minor=0> <u16be header-packet count> 'fLaC' <STREAMINFO block incl.
+  4-byte block header>``
+* one packet per remaining metadata block (the count above)
+* one packet per FLAC frame; a page's granule position is the number of
+  samples completed by the last packet that ends on it (-1 if none ends)
+* pages carry the Ogg CRC-32 (poly 0x04C11DB7, init 0, no final xor) over
+  the whole page with the CRC field zeroed
+
+Frame boundaries for the FLAC->Ogg direction come from the native batch
+parser (zf_native.parse_frames reports per-frame end offsets), so the
+transmux fully CRC-verifies every frame it wraps.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+OGG_MAGIC = b"OggS"
+_MAX_SEGS = 255
+
+
+def _crc_table() -> np.ndarray:
+    poly = 0x04C11DB7
+    tbl = np.zeros(256, np.uint32)
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ poly if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+        tbl[i] = r
+    return tbl
+
+
+_OGG_CRC = _crc_table()
+
+
+def ogg_crc(data: bytes, crc: int = 0) -> int:
+    """Ogg page CRC-32: MSB-first, init 0, no final xor. C++ slice-by-8
+    when the native runtime is present; table-driven Python otherwise."""
+    from . import native as _native
+
+    if _native.HAVE_NATIVE and hasattr(_native._n, "crc32_ogg"):
+        return _native._n.crc32_ogg(data, crc)
+    for v in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ int(_OGG_CRC[((crc >> 24) ^ v) & 0xFF])
+    return crc
+
+
+class OggPageWriter:
+    """Packs packets into Ogg pages (handles lacing, continuation, BOS/EOS,
+    granule bookkeeping) and writes them to a file-like object."""
+
+    def __init__(self, out, serial: int = 0x464C4143) -> None:
+        self.out = out
+        self.serial = serial & 0xFFFFFFFF
+        self.page_seq = 0
+        self._segs: List[int] = []
+        self._data: List[bytes] = []
+        self._granule = -1  # granule of the last packet completed this page
+        self._bos_pending = True
+        self._cont = False  # current page continues a packet
+
+    def _flush(self, eos: bool = False) -> None:
+        if not self._segs and not eos:
+            return
+        hdr_type = (
+            (0x01 if self._cont else 0)
+            | (0x02 if self._bos_pending else 0)
+            | (0x04 if eos else 0)
+        )
+        granule = self._granule if self._granule >= 0 else (2**64 - 1)
+        header = (
+            OGG_MAGIC
+            + struct.pack(
+                "<BBQIIi", 0, hdr_type, granule, self.serial, self.page_seq, 0
+            )
+            + bytes([len(self._segs)])
+            + bytes(self._segs)
+        )
+        body = b"".join(self._data)
+        crc = ogg_crc(header + body)
+        page = header[:22] + struct.pack("<I", crc) + header[26:] + body
+        self.out.write(page)
+        self.page_seq += 1
+        self._segs = []
+        self._data = []
+        self._granule = -1
+        self._bos_pending = False
+        # continuation state for the NEXT page is set by add_packet when it
+        # flushes mid-packet; a normal flush starts a fresh page
+        self._cont = False
+
+    def add_packet(self, data: bytes, granule: int, flush: bool = False) -> None:
+        """Append one packet; ``granule`` is the stream position (total
+        samples) after this packet, recorded if the packet ends on a page.
+        """
+        n = len(data)
+        # lacing: floor(n/255) full segments then n%255 — a packet whose
+        # length is a multiple of 255 ends with a 0 lacing value
+        lacing = [255] * (n // 255) + [n % 255]
+        off = 0
+        for take in lacing:
+            if len(self._segs) == _MAX_SEGS:
+                # page full mid-packet: emit and continue on the next page
+                self._flush()
+                self._cont = True
+            self._segs.append(take)
+            self._data.append(data[off : off + take])
+            off += take
+        self._granule = granule
+        if flush or len(self._segs) >= 200:
+            self._flush()
+
+    def close(self, final_granule: int) -> None:
+        self._granule = max(self._granule, final_granule)
+        self._flush(eos=True)
+
+
+def _build_first_packet(streaminfo_block: bytes, n_header_packets: int) -> bytes:
+    return (
+        b"\x7fFLAC\x01\x00"
+        + struct.pack(">H", n_header_packets)
+        + b"fLaC"
+        + streaminfo_block
+    )
+
+
+def _split_metadata(flac: bytes) -> Tuple[List[bytes], int]:
+    """Native stream -> ([metadata blocks incl. 4-byte headers], frame_pos).
+    The first block is always STREAMINFO (decoder validates)."""
+    if flac[:4] != b"fLaC":
+        raise ValueError("bad FLAC signature")
+    pos = 4
+    blocks = []
+    while True:
+        hdr = flac[pos]
+        length = int.from_bytes(flac[pos + 1 : pos + 4], "big")
+        blocks.append(flac[pos : pos + 4 + length])
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    return blocks, pos
+
+
+def flac_to_ogg(flac: bytes, out, serial: int = 0) -> None:
+    """Transmux a native FLAC stream into Ogg-FLAC, verifying every frame
+    CRC along the way (the boundary scan is the native batch parser)."""
+    import _zf_native as _n
+
+    from .decoder import FlacDecodeError, _parse_metadata
+
+    info, _vendor, _tags, _seek, first_frame = _parse_metadata(flac)
+    blocks, pos0 = _split_metadata(flac)
+    assert pos0 == first_frame
+    streaminfo = blocks[0]
+    others = blocks[1:]
+    # inside Ogg the STREAMINFO is never the chain terminator unless it is
+    # alone; the last header packet carries the last-metadata flag
+    def set_last(block: bytes, last: bool) -> bytes:
+        b0 = (block[0] & 0x7F) | (0x80 if last else 0)
+        return bytes([b0]) + block[1:]
+
+    streaminfo = set_last(streaminfo, not others)
+    if others:
+        others = [set_last(b, False) for b in others[:-1]] + [
+            set_last(others[-1], True)
+        ]
+
+    w = OggPageWriter(out, serial=serial or 0x464C4143)
+    w.add_packet(_build_first_packet(streaminfo, len(others)), 0, flush=True)
+    for b in others:
+        w.add_packet(b, 0)
+    if others:
+        w._flush()  # header packets end before the first audio page
+
+    pos = first_frame
+    samples = 0
+    B = info.max_block_size
+    while pos < len(flac):
+        (n, end, bs, _vb, _qb, _sb, _cb, _fb, kb, eb) = _n.parse_frames(
+            flac, pos, 4096, info.bit_depth, info.channels
+        )
+        if n == 0:
+            raise FlacDecodeError("unparseable frame data in transmux")
+        if not np.frombuffer(kb, np.uint8).all():
+            raise FlacDecodeError("frame CRC mismatch in transmux")
+        ends = np.frombuffer(eb, np.int64)
+        for i in range(n):
+            samples += bs
+            if samples > info.interchannel_samples:
+                samples = info.interchannel_samples  # ragged tail frame
+            w.add_packet(
+                flac[pos : int(ends[i])], min(samples, info.interchannel_samples)
+            )
+            pos = int(ends[i])
+    w.close(info.interchannel_samples)
+
+
+class OggPageReader:
+    """Iterates (packets, granule) from an Ogg stream, CRC-checking pages
+    and reassembling packets across page boundaries."""
+
+    def __init__(self, data: bytes, verify_crc: bool = True) -> None:
+        self.data = data
+        self.verify_crc = verify_crc
+
+    def packets(self):
+        data = self.data
+        pos = 0
+        partial = b""
+        while pos < len(data):
+            if data[pos : pos + 4] != OGG_MAGIC:
+                raise ValueError("bad Ogg page magic")
+            if len(data) < pos + 27:
+                raise ValueError("truncated Ogg page header")
+            (ver, htype, granule, _serial, _seq, crc) = struct.unpack(
+                "<BBQIIi", data[pos + 4 : pos + 26]
+            )
+            if ver != 0:
+                raise ValueError("unsupported Ogg version")
+            nsegs = data[pos + 26]
+            segs = data[pos + 27 : pos + 27 + nsegs]
+            body_off = pos + 27 + nsegs
+            body_len = int(np.frombuffer(segs, np.uint8).sum())
+            page = data[pos : body_off + body_len]
+            if len(page) != 27 + nsegs + body_len:
+                raise ValueError("truncated Ogg page")
+            if self.verify_crc:
+                zeroed = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+                if ogg_crc(zeroed) != crc & 0xFFFFFFFF:
+                    raise ValueError("Ogg page CRC mismatch")
+            if not (htype & 0x01) and partial:
+                raise ValueError("lost packet continuation")
+            boff = body_off
+            for i, s in enumerate(segs):
+                partial += data[boff : boff + s]
+                boff += s
+                if s < 255:
+                    yield partial, granule
+                    partial = b""
+            pos = body_off + body_len
+        if partial:
+            raise ValueError("stream ends mid-packet")
+
+
+def ogg_to_flac(data: bytes, verify_crc: bool = True) -> bytes:
+    """Transmux Ogg-FLAC back to a native FLAC stream (page CRCs checked).
+    The metadata chain's last-block flags are rebuilt."""
+    it = OggPageReader(data, verify_crc=verify_crc).packets()
+    first, _g = next(it)
+    if first[:5] != b"\x7fFLAC":
+        raise ValueError("not an Ogg-FLAC stream (bad first packet)")
+    if first[5] != 1:
+        raise ValueError("unsupported Ogg-FLAC mapping version")
+    n_hdr = struct.unpack(">H", first[7:9])[0]
+    if first[9:13] != b"fLaC":
+        raise ValueError("missing fLaC signature in first packet")
+    streaminfo = first[13:]
+    if (streaminfo[0] & 0x7F) != 0:
+        raise ValueError("first packet must carry STREAMINFO")
+    metas = [streaminfo]
+    for _ in range(n_hdr):
+        pkt, _g = next(it)
+        metas.append(pkt)
+    # rebuild last-block flags for the native chain
+    out = [b"fLaC"]
+    for i, b in enumerate(metas):
+        last = i == len(metas) - 1
+        out.append(bytes([(b[0] & 0x7F) | (0x80 if last else 0)]) + b[1:])
+    for pkt, _g in it:
+        out.append(pkt)
+    return b"".join(out)
+
+
+def is_ogg(data: bytes) -> bool:
+    return data[:4] == OGG_MAGIC
