@@ -748,4 +748,7 @@ def plan_lag_sums(
     else:
         planes = frames.astype(jnp.int64)
     planes, _w = _apply_wasted(planes, depth, config)
-    return lag_sums(planes, config.lpc_order)
+    # compact i32 limbs whenever every plane (incl. the +1-bit side) fits
+    # 19 bits — halves the per-batch lag fetch, the LPC mode's sustained
+    # bottleneck on thin links
+    return lag_sums(planes, config.lpc_order, compact=depth + 1 <= 19)

@@ -64,12 +64,32 @@ def tukey_q15(n: int) -> np.ndarray:
     return np.round(tukey_window(n) * 32768.0).astype(np.int64)
 
 
-def lag_sums(planes: jnp.ndarray, order: int) -> jnp.ndarray:
+def _normalize_limbs_jnp(hh, hl, ll):
+    """Carry-propagate the limb triple so hl/ll land in [0, 2^24):
+    hh2*2^48 + rhl*2^24 + rll == hh*2^48 + hl*2^24 + ll exactly (arithmetic
+    shifts floor-divide two's-complement i64). After normalization the
+    value's full magnitude lives in hh2, which fits int32 whenever
+    2*ss - 8 <= 31 (ss = per-plane sample bits incl. the side +1) — the
+    16-bit path ships lag blocks at half the d2h bytes, which is the LPC
+    mode's sustained bottleneck on thin links (~40 ms of a ~47 ms batch
+    measured on the axon relay)."""
+    m24 = jnp.int64((1 << _LIMB) - 1)
+    qll = ll >> _LIMB
+    rll = ll & m24
+    hl2 = hl + qll
+    qhl = hl2 >> _LIMB
+    rhl = hl2 & m24
+    return hh + qhl, rhl, rll
+
+
+def lag_sums(planes: jnp.ndarray, order: int, compact: bool = False) -> jnp.ndarray:
     """Exact integer windowed autocorrelation limb sums on device.
 
-    ``planes`` int [..., B] -> int64 [..., order+1, 3] where lag k's exact
-    value is ``hh·2^48 + hl·2^24 + ll`` (a ~96-bit integer carried as three
-    int64 partials). Bit-identical to ``lag_sums_np`` on any backend.
+    ``planes`` int [..., B] -> [..., order+1, 3] where lag k's exact
+    value is ``l0·2^48 + l1·2^24 + l2`` (a ~96-bit integer carried as
+    three normalized partials). Bit-identical to ``lag_sums_np`` on any
+    backend. ``compact=True`` returns int32 limbs (valid for sample sizes
+    <= 19 bits — see _normalize_limbs_jnp); otherwise int64.
     """
     B = planes.shape[-1]
     wq = jnp.asarray(tukey_q15(B))
@@ -85,16 +105,20 @@ def lag_sums(planes: jnp.ndarray, order: int) -> jnp.ndarray:
         hh = (ah * bh).sum(axis=-1)
         hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
         ll = (al * bl).sum(axis=-1)
-        out.append(jnp.stack([hh, hl, ll], axis=-1))
-    return jnp.stack(out, axis=-2)
+        out.append(jnp.stack(_normalize_limbs_jnp(hh, hl, ll), axis=-1))
+    res = jnp.stack(out, axis=-2)
+    return res.astype(jnp.int32) if compact else res
 
 
 def lag_sums_np(planes: np.ndarray, order: int) -> np.ndarray:
-    """numpy mirror of ``lag_sums`` (golden path) — same exact integers."""
+    """numpy mirror of ``lag_sums`` (golden path) — same exact integers,
+    same limb normalization (so device and golden hand coeffs_from_lags
+    byte-identical float inputs)."""
     B = planes.shape[-1]
     x = planes.astype(np.int64) * tukey_q15(B)
     hi = x >> _LIMB
     lo = x & ((1 << _LIMB) - 1)
+    m24 = np.int64((1 << _LIMB) - 1)
     out = []
     for k in range(order + 1):
         ah, al = (hi[..., k:], lo[..., k:]) if k else (hi, lo)
@@ -102,7 +126,12 @@ def lag_sums_np(planes: np.ndarray, order: int) -> np.ndarray:
         hh = (ah * bh).sum(axis=-1)
         hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
         ll = (al * bl).sum(axis=-1)
-        out.append(np.stack([hh, hl, ll], axis=-1))
+        qll = ll >> _LIMB
+        rll = ll & m24
+        hl2 = hl + qll
+        qhl = hl2 >> _LIMB
+        rhl = hl2 & m24
+        out.append(np.stack([hh + qhl, rhl, rll], axis=-1))
     return np.stack(out, axis=-2)
 
 
