@@ -552,26 +552,27 @@ def deposit_stream_windowed(
     # intermediate to HBM; minor-axis chunks fuse fully and run at VPU
     # compute throughput.
     def cc(a, b):
-        ai = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(n, nch, 1, 1, chunk)
-        bi = jax.lax.bitcast_convert_type(b, jnp.int32).reshape(n, nch, 1, 1, chunk)
-        return jnp.concatenate([ai, bi], axis=4)
+        ai = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(n, nch, 1, chunk)
+        bi = jax.lax.bitcast_convert_type(b, jnp.int32).reshape(n, nch, 1, chunk)
+        return jnp.concatenate([ai, bi], axis=3)
 
-    # ONE reduce for both word planes: two sibling reduces sharing the hit
-    # predicate make XLA materialize the [N, nch, Wd, 2chunk] pred tensor
-    # to HBM between them (measured ~2.7 ms); a single reduce over the
-    # stacked plane axis recomputes the compare inline and never spills.
-    tio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Wd, 1), 3)
-    relx = rel[:, :, None, None, :]
-    relcat = jnp.concatenate([relx, relx + 1], axis=4)  # [N, nch, 1, 1, 2c]
-    planes01 = jnp.concatenate(
-        [cc(s0, s2), cc(s1, s3)], axis=2
-    )  # [N, nch, 2, 1, 2chunk]
+    # TWO sibling reduces, one per word plane, each recomputing the slot
+    # compare inline. (A single reduce over a stacked plane axis reads
+    # nicer but measures WORSE: XLA materializes the [N, nch, Wd, 2chunk]
+    # predicate as its own fusion (~110 MB) and streams it into the
+    # reduce — 3.7 ms vs 2.7 ms for the duplicated inline compares.)
+    tio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Wd, 1), 2)
+    relx = rel[:, :, None, :]
+    relcat = jnp.concatenate([relx, relx + 1], axis=3)  # [N, nch, 1, 2c]
     z32 = jnp.int32(0)
-    acc = jnp.where(relcat == tio, planes01, z32).sum(
-        axis=4, dtype=jnp.int32
-    )  # [N, nch, 2, Wd]
+    acc0 = jnp.where(relcat == tio, cc(s0, s2), z32).sum(
+        axis=3, dtype=jnp.int32
+    )
+    acc1 = jnp.where(relcat == tio, cc(s1, s3), z32).sum(
+        axis=3, dtype=jnp.int32
+    )
     # interleave the per-dword word pairs back to stream words [N, nch, W]
-    acc = jnp.moveaxis(acc, 2, 3).reshape(n, nch, W)
+    acc = jnp.stack([acc0, acc1], axis=-1).reshape(n, nch, W)
 
     # stage 2: overlap-add via one-hot matmul over row_words-word rows
     K = nch * win_rows
@@ -629,25 +630,25 @@ def pack_frames(
             [v.astype(jnp.uint64) for v in dep_val_parts], axis=1
         )
         if deposit == "windowed":
-            # chunk/window sizing: the chunk is one full lane tile (128);
-            # windows align to 32-word rows (remainder <=31), so a window
-            # needs remainder + content span + 3 spill words. The span is
+            # chunk/window sizing: stage-1 cost scales as S * window, so
+            # small chunks with tight windows win — measured sweet spot
+            # chunk=32 (chunk 128 -> 32 cut the deposit stage ~35%;
+            # 16/8 lose to per-chunk overheads). Windows align to 32-word
+            # (16-dword) rows: a window needs the <=15-dword alignment
+            # remainder + the content span + 1 spill dword. The span is
             # depth-bound: a sustained merged-pair width beyond
             # 2*(depth+2) bits (escape samples <= depth+1 plus a 5-bit
             # param column) implies the estimator would have chosen
-            # verbatim (pairs = 2*depth+2 for the side plane), so heavier
-            # chunks only arise on adversarial content, where the
-            # overflow flag falls back to the exact path. depth 16 -> 6
-            # rows (192 words), depth 24 -> 8 (256); 33-bit side
-            # channels (i64 planes) can hit 268 payload words -> 10
-            # rows (320).
-            if plan.planes.dtype == jnp.int64:
-                wr = 10
-            else:
-                span = (128 * 2 * (depth + 2) + 31) // 32
-                wr = -(-(span + 31 + 3) // 32)
+            # verbatim, so heavier chunks only arise on adversarial
+            # content, where the overflow flag falls back to the exact
+            # path. depth <=24 -> 3 rows (96 words); 33-bit side
+            # channels (i64 planes, pairs to 68 bits) -> 4 rows.
+            chunk = 32
+            pair_bits = 68 if plan.planes.dtype == jnp.int64 else 2 * (depth + 2)
+            span_dw = -(-chunk * pair_bits // 64)
+            wr = -(-(span_dw + 15 + 1) // 16)
             main_words, overflow = deposit_stream_windowed(
-                dep_cum, dep_val, dep_nbv, max_words, chunk=128,
+                dep_cum, dep_val, dep_nbv, max_words, chunk=chunk,
                 win_rows=wr, row_words=32,
             )
         else:
