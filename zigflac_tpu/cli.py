@@ -281,7 +281,10 @@ def main(argv=None) -> int:
                 nm = _mmap.mmap(nf.fileno(), 0, access=_mmap.ACCESS_READ)
                 try:
                     with open(args.output, "wb") as of:
-                        flac_to_ogg(bytes(nm), of)
+                        # the transmux reads the mapping directly (native
+                        # parser + range slices), so host memory stays
+                        # O(page cache) however large the file
+                        flac_to_ogg(nm, of)
                 finally:
                     nm.close()
             _os.remove(native_out)

@@ -154,9 +154,12 @@ def _split_metadata(flac: bytes) -> Tuple[List[bytes], int]:
     return blocks, pos
 
 
-def flac_to_ogg(flac: bytes, out, serial: int = 0) -> None:
+def flac_to_ogg(flac, out, serial: int = 0) -> None:
     """Transmux a native FLAC stream into Ogg-FLAC, verifying every frame
-    CRC along the way (the boundary scan is the native batch parser)."""
+    CRC along the way (the boundary scan is the native batch parser).
+    ``flac`` may be bytes or any sliceable buffer (e.g. an mmap) — the
+    transmux touches it in frame-batch windows, so memory stays bounded
+    for file inputs."""
     import _zf_native as _n
 
     from .decoder import FlacDecodeError, _parse_metadata
