@@ -120,3 +120,26 @@ def test_ogg_rejects_non_flac_stream():
     w.close(0)
     with pytest.raises(ValueError, match="Ogg-FLAC"):
         ogg.ogg_to_flac(out.getvalue())
+
+
+def test_cli_ogg_encode_and_batch(tmp_path):
+    """CLI --ogg single-file and --batch --ogg both produce verifiable
+    Ogg-FLAC whose embedded native stream matches a direct encode."""
+    from zigflac_tpu.cli import main
+
+    wav = _wav_bytes(seconds=0.3)
+    wdir = tmp_path / "wavs"
+    odir = tmp_path / "out"
+    wdir.mkdir()
+    (wdir / "x.wav").write_bytes(wav)
+    single = tmp_path / "single.oga"
+    rc = main([str(wdir / "x.wav"), str(single), "--backend", "golden"])
+    assert rc == 0
+    assert ogg.is_ogg(single.read_bytes())
+    rc = main([
+        "--batch", str(wdir), str(odir), "--ogg", "--backend", "golden",
+        "--verify",
+    ])
+    assert rc == 0
+    batch_oga = (odir / "x.oga").read_bytes()
+    assert ogg.ogg_to_flac(batch_oga) == ogg.ogg_to_flac(single.read_bytes())

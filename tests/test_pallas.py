@@ -206,10 +206,18 @@ def test_windowed_deposit_matches_segsum(rng):
                 [np.zeros((n, 1), np.int32), d_cum], axis=1), axis=1))
             d_cum = np.cumsum(nb, axis=1).astype(np.int32)
         W = int(d_cum.max() // 32) + 3
-        a = deposit_words(
-            jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W
-        )
-        b, ovf = deposit_stream_windowed(
+
+        import jax
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=3)
+        def both(d, v, nv, w):
+            return (
+                deposit_words(d, v, nv, w),
+                *deposit_stream_windowed(d, v, nv, w),
+            )
+
+        a, b, ovf = both(
             jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W
         )
         assert not bool(np.asarray(ovf))
@@ -230,7 +238,11 @@ def test_windowed_deposit_overflow_flags(rng):
     nbv = np.minimum(nb, 4)
     d_cum = np.cumsum(nb, axis=1).astype(np.int32)
     val = np.full((n, s), 9, np.uint64)
-    _, ovf = deposit_stream_windowed(
+    import jax
+    from functools import partial
+
+    win = partial(jax.jit, static_argnums=3)(deposit_stream_windowed)
+    _, ovf = win(
         jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv),
         int(d_cum.max() // 32) + 3,
     )
@@ -240,7 +252,7 @@ def test_windowed_deposit_overflow_flags(rng):
     nb[0, 3] = 70
     nbv2 = np.minimum(nb, 4)
     d_cum = np.cumsum(nb, axis=1).astype(np.int32)
-    _, ovf = deposit_stream_windowed(
+    _, ovf = win(
         jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv2),
         int(d_cum.max() // 32) + 3,
     )
@@ -271,13 +283,21 @@ def test_pack_frames_windowed_matches_segsum(rng):
     x[2 * B : 2 * B + 200] = 0
     frames = np.stack([x.reshape(n, B), (x // 3).reshape(n, B)], axis=1)
     fns = jnp.arange(n, dtype=jnp.int64)
-    plan = plan_frames(jnp.asarray(frames), 16, cfg)
     hs = header_static(B, 44100, 16)
     W = max_frame_words(B, 2, 16)
-    wa, ta, _ = pack_frames(plan, fns, hs, B, cfg.max_rice_order, W)
-    wb, tb, ovf = pack_frames(
-        plan, fns, hs, B, cfg.max_rice_order, W, deposit="windowed",
-    )
+
+    import jax
+
+    @jax.jit  # one cacheable program (eager tracing here costs ~30 s/run)
+    def both(fr, fnum):
+        plan = plan_frames(fr, 16, cfg)
+        wa, ta, _ = pack_frames(plan, fnum, hs, B, cfg.max_rice_order, W)
+        wb, tb, ovf = pack_frames(
+            plan, fnum, hs, B, cfg.max_rice_order, W, deposit="windowed",
+        )
+        return wa, ta, wb, tb, ovf
+
+    wa, ta, wb, tb, ovf = both(jnp.asarray(frames), fns)
     assert not bool(np.asarray(ovf))
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
     np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
@@ -311,14 +331,22 @@ def test_pack_frames_binned_matches_segsum(rng):
         [x.reshape(n, B), (x // 3).reshape(n, B)], axis=1
     )
     fns = jnp.arange(n, dtype=jnp.int64)
-    plan = plan_frames(jnp.asarray(frames), 16, cfg)
     hs = header_static(B, 44100, 16)
     W = max_frame_words(B, 2, 16)
-    wa, ta, _ = pack_frames(plan, fns, hs, B, cfg.max_rice_order, W)
-    wb, tb, ovf = pack_frames(
-        plan, fns, hs, B, cfg.max_rice_order, W,
-        deposit="binned", interpret=True,
-    )
+
+    import jax
+
+    @jax.jit  # one cacheable program (eager tracing costs ~10 s/run)
+    def both(fr, fnum):
+        plan = plan_frames(fr, 16, cfg)
+        wa, ta, _ = pack_frames(plan, fnum, hs, B, cfg.max_rice_order, W)
+        wb, tb, ovf = pack_frames(
+            plan, fnum, hs, B, cfg.max_rice_order, W,
+            deposit="binned", interpret=True,
+        )
+        return wa, ta, wb, tb, ovf
+
+    wa, ta, wb, tb, ovf = both(jnp.asarray(frames), fns)
     assert not bool(np.asarray(ovf))
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
     np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))

@@ -161,15 +161,20 @@ def _batch_main(args, cfg_kwargs) -> int:
         print(f"error: no .wav files in {args.input}", file=sys.stderr)
         return 1
     os.makedirs(args.output, exist_ok=True)
+    want_ogg = args.ogg
+    ext = ".oga" if want_ogg else ".flac"
     in_paths = [os.path.join(args.input, f) for f in names]
     out_paths = [
-        os.path.join(args.output, os.path.splitext(f)[0] + ".flac")
+        os.path.join(args.output, os.path.splitext(f)[0] + ext)
         for f in names
     ]
+    native_paths = (
+        [p + ".native.tmp" for p in out_paths] if want_ogg else out_paths
+    )
     t0 = time.perf_counter()
     try:
         encode_files(
-            in_paths, out_paths,
+            in_paths, native_paths,
             config=EncoderConfig(channels="stereo_auto", **cfg_kwargs),
             backend=args.backend,
         )
@@ -177,6 +182,20 @@ def _batch_main(args, cfg_kwargs) -> int:
         print(f"format: flac does not support this wav format ({e})",
               file=sys.stderr)
         return 2
+    if want_ogg:
+        import mmap as _mmap
+
+        from .ogg import flac_to_ogg
+
+        for np_, op in zip(native_paths, out_paths):
+            with open(np_, "rb") as nf:
+                nm = _mmap.mmap(nf.fileno(), 0, access=_mmap.ACCESS_READ)
+                try:
+                    with open(op, "wb") as of:
+                        flac_to_ogg(nm, of)
+                finally:
+                    nm.close()
+            os.remove(np_)
     dt = time.perf_counter() - t0
     total_in = sum(os.path.getsize(p) for p in in_paths)
     total_out = sum(os.path.getsize(p) for p in out_paths)
@@ -186,8 +205,13 @@ def _batch_main(args, cfg_kwargs) -> int:
         bad = []
         for f, p in zip(names, out_paths):
             with open(p, "rb") as fh:
-                if not verify_flac(fh.read()):
-                    bad.append(f)
+                data = fh.read()
+            if data[:4] == b"OggS":
+                from .ogg import ogg_to_flac
+
+                data = ogg_to_flac(data)
+            if not verify_flac(data):
+                bad.append(f)
         if bad:
             print(f"verify: FAILED ({', '.join(bad)})", file=sys.stderr)
             return 3
