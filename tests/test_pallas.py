@@ -350,3 +350,53 @@ def test_pack_frames_binned_matches_segsum(rng):
     assert not bool(np.asarray(ovf))
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
     np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+
+def test_windowed_deposit_property_fuzz(rng):
+    """20 random deposit streams through one compiled windowed program vs
+    the exact segment-sum path: mixed widths (1..33 bits), heavy masking,
+    zero-width runs, and occasional huge fields that must either merge
+    (<=64 bits) or trip the overflow flag — never corrupt."""
+    import jax
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.bitpack import deposit_words, deposit_stream_windowed
+
+    n, s = 2, 320
+
+    @partial(jax.jit, static_argnums=3)
+    def both(d, v, nv, w):
+        return (
+            deposit_words(d, v, nv, w),
+            *deposit_stream_windowed(d, v, nv, w),
+        )
+
+    W = None
+    for trial in range(20):
+        nbv = rng.integers(1, 34, (n, s)).astype(np.int32)
+        gap = rng.integers(0, 6, (n, s)).astype(np.int32)
+        if trial % 3 == 0:
+            nbv[rng.random((n, s)) < 0.5] = 0
+        if trial % 4 == 0:
+            # a few wide unary-ish fields (value bits small, total wide)
+            idx = rng.integers(0, s, 4)
+            gap[0, idx] = rng.integers(20, 40, 4)
+        nb = np.where(nbv > 0, nbv + gap, 0)
+        val = rng.integers(0, 1 << 33, (n, s), dtype=np.uint64) & (
+            (np.uint64(1) << nbv.astype(np.uint64)) - np.uint64(1)
+        )
+        val = np.where(nbv > 0, val, 0)
+        d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+        if W is None:
+            W = 8 * s  # fixed static shape: one compile for all trials
+        assert int(d_cum.max() // 32) + 3 <= W
+        a, b, ovf = both(
+            jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W
+        )
+        if bool(np.asarray(ovf)):
+            continue  # legal: caller falls back to the exact path
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"trial {trial}"
+        )

@@ -171,3 +171,27 @@ def test_product_pipeline_shards_by_default(rng, mesh):
     finally:
         del os.environ["ZIGFLAC_MESH"]
     assert sharded == single
+
+
+def test_product_pipeline_shards_lpc(rng, mesh):
+    """LPC mode through the auto-sharded production pipeline: the
+    host-derived coefficient arrays ride the mesh as frame-sharded
+    program inputs (mesh._sharded_compact_fn n_lpc_args path) and the
+    bytes match golden exactly."""
+    import io
+
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+    from zigflac_tpu.models.pipeline import DevicePipeline as DP
+    from zigflac_tpu.wav import write_wav
+
+    B = 512
+    cfg = EncoderConfig(block_size=B, prediction="lpc", lpc_order=4)
+    samples = make_signal(rng, 9 * B, channels=2, depth=16, kind="sine")
+    buf = io.BytesIO()
+    write_wav(buf, samples.astype(np.int32), 44100, 16)
+    wav_bytes = buf.getvalue()
+
+    assert DP(cfg, 16)._mesh is not None
+    sharded = encode_wav_bytes(wav_bytes, config=cfg, backend="device")
+    golden = encode_wav_bytes(wav_bytes, config=cfg, backend="golden")
+    assert sharded == golden
