@@ -143,3 +143,38 @@ def test_cli_ogg_encode_and_batch(tmp_path):
     assert rc == 0
     batch_oga = (odir / "x.oga").read_bytes()
     assert ogg.ogg_to_flac(batch_oga) == ogg.ogg_to_flac(single.read_bytes())
+
+
+def test_streaming_single_pass_ogg_matches_transmux(tmp_path):
+    """encode_file(ogg=True) writes Ogg-FLAC in ONE streaming pass
+    (OggStreamSink: placeholder header pages + seek-back rewrite); the
+    result must be byte-identical to transmuxing the native encode —
+    including SEEKTABLE reservation and tag blocks — and decode back to
+    the original PCM."""
+    from zigflac_tpu.decoder import decode_file
+    from zigflac_tpu.models.encoder import encode_file
+    from zigflac_tpu.wav import write_wav
+
+    rng = np.random.default_rng(77)
+    t = np.arange(44100)
+    x = 7000 * np.sin(2 * np.pi * 440 * t / 44100) + rng.normal(0, 80, (2, t.size))
+    pcm = np.clip(np.round(x), -32768, 32767).astype(np.int32)
+    wav_path = tmp_path / "in.wav"
+    write_wav(str(wav_path), pcm, 44100, 16)
+
+    flac_path = tmp_path / "out.flac"
+    oga_path = tmp_path / "out.oga"
+    encode_file(str(wav_path), str(flac_path), backend="golden",
+                seek_interval=22050, tags=[("TITLE", "sp")])
+    encode_file(str(wav_path), str(oga_path), backend="golden", ogg=True,
+                seek_interval=22050, tags=[("TITLE", "sp")])
+    native = flac_path.read_bytes()
+    out = io.BytesIO()
+    ogg.flac_to_ogg(native, out)
+    single_pass = oga_path.read_bytes()
+    assert ogg.ogg_to_flac(single_pass) == native
+    assert single_pass == out.getvalue()
+    # and the container decodes back to the exact PCM
+    rt = tmp_path / "rt.wav"
+    decode_file(str(oga_path), str(rt), verify=True)
+    assert rt.read_bytes() == wav_path.read_bytes()

@@ -285,33 +285,15 @@ def main(argv=None) -> int:
             )
             extra = [picture_block(img, mime, is_last=False)]
         want_ogg = args.ogg or args.output.lower().endswith((".oga", ".ogg"))
-        native_out = args.output + ".native.tmp" if want_ogg else args.output
         t0 = time.perf_counter()
+        # ogg writes in the same single streaming pass (ogg.OggStreamSink:
+        # placeholder header pages, per-batch frame packets, seek-back
+        # header-page rewrite)
         encode_file(
-            args.input, native_out, config=cfg, backend=args.backend,
+            args.input, args.output, config=cfg, backend=args.backend,
             tags=tags or None, seek_interval=seek_interval,
-            padding=args.padding, extra_metadata=extra,
+            padding=args.padding, extra_metadata=extra, ogg=want_ogg,
         )
-        if want_ogg:
-            # transmux the finished native stream into the Ogg container
-            # (frame boundaries come from the native parser, which also
-            # CRC-verifies every frame it wraps)
-            import mmap as _mmap
-            import os as _os
-
-            from .ogg import flac_to_ogg
-
-            with open(native_out, "rb") as nf:
-                nm = _mmap.mmap(nf.fileno(), 0, access=_mmap.ACCESS_READ)
-                try:
-                    with open(args.output, "wb") as of:
-                        # the transmux reads the mapping directly (native
-                        # parser + range slices), so host memory stays
-                        # O(page cache) however large the file
-                        flac_to_ogg(nm, of)
-                finally:
-                    nm.close()
-            _os.remove(native_out)
         dt = time.perf_counter() - t0
         if profiler is not None:
             profiler.profiler.stop_trace()

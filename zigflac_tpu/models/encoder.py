@@ -650,6 +650,7 @@ def encode_file_streaming(
     padding: int = 0,
     extra_metadata: Optional[List[bytes]] = None,
     frames_per_chunk: Optional[int] = None,
+    ogg: bool = False,
 ) -> StreamInfo:
     """O(chunk)-memory wav2flac: the host never materializes more than one
     device batch of samples (plus the in-flight pipeline window), however
@@ -662,6 +663,12 @@ def encode_file_streaming(
     two-pass STREAMINFO protocol, src/wav2flac.zig:30-47), frames stream out
     as each device batch collects, and the MD5 accumulates incrementally
     (native streaming context, native.Md5Stream).
+
+    ``ogg=True`` writes Ogg-FLAC in the same single pass: header pages go
+    out with placeholder STREAMINFO/SEEKTABLE payloads, frames packetize
+    per batch, and the closing seek-back rewrites the header pages (Ogg
+    lacing depends only on packet lengths, which the two-pass protocol
+    keeps fixed — ogg.OggStreamSink).
     """
     from ..wav import WavStreamReader
 
@@ -685,7 +692,7 @@ def encode_file_streaming(
         try:
             info = _stream_frames_to_file(
                 wav, enc, info, output_path, block, frames_per_chunk,
-                tags, seek_interval, padding, extra_metadata,
+                tags, seek_interval, padding, extra_metadata, ogg=ogg,
             )
         except BaseException:
             # never leave a partially written .flac behind (the in-memory
@@ -701,7 +708,7 @@ def encode_file_streaming(
 
 def _stream_frames_to_file(
     wav, enc, info, output_path, block, frames_per_chunk,
-    tags, seek_interval, padding, extra_metadata,
+    tags, seek_interval, padding, extra_metadata, ogg: bool = False,
 ) -> StreamInfo:
     """The body of ``encode_file_streaming`` once the feeder and encoder are
     set up: writes the metadata chain, streams frames batch by batch, and
@@ -712,40 +719,79 @@ def _stream_frames_to_file(
     from ..metadata import HEADER_SIZE
     from ..native import Md5Stream
 
+    def meta_chain(si_block, seekpoints):
+        """The full metadata chain for the Ogg sink (native writes it
+        piecewise below so it can seek-patch blocks individually).
+        streaminfo_block's output carries the 'fLaC' stream magic (the
+        native HEADER_SIZE covers it); inside Ogg the magic lives in
+        packet 1's mapping header instead, so strip it here."""
+        if si_block[:4] == b"fLaC":
+            si_block = si_block[4:]
+        blocks = [si_block]
+        if seek_interval:
+            blocks.append(seek_table_block(seekpoints, is_last=False))
+        blocks.append(vorbis_comment_block(is_last=False, tags=tags))
+        for extra in extra_metadata or []:
+            blocks.append(extra)
+        if padding > 0:
+            blocks.append(padding_block(padding, is_last=False))
+        blocks[-1] = set_last_flag(blocks[-1])
+        return blocks
+
     with open(output_path, "wb") as out:
         # -- metadata chain (STREAMINFO + SEEKTABLE patched at the end) --
-        out.write(b"\x00" * HEADER_SIZE)
         seek_pos = None
         n_points = 0
         if seek_interval:
             n_points = _count_seekpoints(
                 info.interchannel_samples, block, seek_interval
             )
-            seek_pos = out.tell()
-            out.write(
-                seek_table_block([(0, 0, 0)] * n_points, is_last=False)
+        sink = None
+        if ogg:
+            from ..ogg import OggStreamSink
+
+            sink = OggStreamSink(out)
+            sink.write_headers(
+                meta_chain(
+                    streaminfo_block(info, is_last=False),
+                    [(0, 0, 0)] * n_points,
+                )
             )
-        blocks = [vorbis_comment_block(is_last=False, tags=tags)]
-        for extra in extra_metadata or []:
-            blocks.append(extra)
-        if padding > 0:
-            blocks.append(padding_block(padding, is_last=False))
-        blocks[-1] = set_last_flag(blocks[-1])
-        for b in blocks:
-            out.write(b)
+        else:
+            out.write(b"\x00" * HEADER_SIZE)
+            if seek_interval:
+                seek_pos = out.tell()
+                out.write(
+                    seek_table_block([(0, 0, 0)] * n_points, is_last=False)
+                )
+            blocks = [vorbis_comment_block(is_last=False, tags=tags)]
+            for extra in extra_metadata or []:
+                blocks.append(extra)
+            if padding > 0:
+                blocks.append(padding_block(padding, is_last=False))
+            blocks[-1] = set_last_flag(blocks[-1])
+            for b in blocks:
+                out.write(b)
 
         # -- stream frames chunk by chunk --------------------------------
         md5 = Md5Stream()
         sizes: List[np.ndarray] = []
         pending: deque = deque()
+        spf_pending: deque = deque()  # per-batch per-frame sample counts
         frame_no = 0
+
+        def emit(frame_bytes, frame_sizes, samples_per_frame):
+            if sink is not None:
+                sink.add_frames(frame_bytes, frame_sizes, samples_per_frame)
+            else:
+                out.write(frame_bytes)
+            sizes.append(np.asarray(frame_sizes, np.int64))
 
         def drain_one():
             got = enc._device_pipeline().collect_batch(
                 pending.popleft(), info
             )
-            out.write(got[0])
-            sizes.append(got[1])
+            emit(got[0], got[1], spf_pending.popleft())
 
         while True:
             raw, planar = wav.read_samples(frames_per_chunk * block)
@@ -766,6 +812,7 @@ def _stream_frames_to_file(
                     )
                     fns = frame_no + np.arange(n_full, dtype=np.int64)
                     pending.append(pipe.dispatch_batch(chunk, fns, info))
+                    spf_pending.append(np.full(n_full, block, np.int64))
                 if tail_dev:
                     pending.append(
                         pipe.dispatch_tail(
@@ -774,6 +821,7 @@ def _stream_frames_to_file(
                             info,
                         )
                     )
+                    spf_pending.append(np.array([rem], np.int64))
                 # keep at most 2 batches in flight: the window bounds
                 # host memory while device compute overlaps disk reads
                 while len(pending) > 2:
@@ -785,8 +833,7 @@ def _stream_frames_to_file(
                         for ch in range(c)
                     ]
                     fb = enc.encode_frame(planes, frame_no + i, info)
-                    out.write(fb)
-                    sizes.append(np.array([len(fb)], np.int64))
+                    emit(fb, [len(fb)], [block])
             if rem and not tail_dev:
                 planes = [planar[ch, n_full * block :] for ch in range(c)]
                 fb = enc.encode_frame(planes, frame_no + n_full, info)
@@ -794,8 +841,7 @@ def _stream_frames_to_file(
                 # in-flight full batches (frame order is preserved)
                 while pending:
                     drain_one()
-                out.write(fb)
-                sizes.append(np.array([len(fb)], np.int64))
+                emit(fb, [len(fb)], [rem])
             frame_no += n_full + (1 if rem else 0)
         while pending:
             drain_one()
@@ -807,17 +853,24 @@ def _stream_frames_to_file(
         info.md5 = md5.digest()
 
         # -- closing seek-back: STREAMINFO + SEEKTABLE -------------------
-        out.flush()
-        out.seek(0)
-        out.write(streaminfo_block(info, is_last=False)[:HEADER_SIZE])
-        if seek_pos is not None:
+        pts = []
+        if seek_interval:
             pts = build_seekpoints(
                 all_sizes, block, seek_interval, info.interchannel_samples
             )
             assert len(pts) == n_points, "seekpoint geometry mismatch"
-            out.seek(seek_pos)
-            out.write(seek_table_block(pts, is_last=False))
-        out.flush()
+        if sink is not None:
+            sink.finalize(
+                meta_chain(streaminfo_block(info, is_last=False), pts)
+            )
+        else:
+            out.flush()
+            out.seek(0)
+            out.write(streaminfo_block(info, is_last=False)[:HEADER_SIZE])
+            if seek_pos is not None:
+                out.seek(seek_pos)
+                out.write(seek_table_block(pts, is_last=False))
+            out.flush()
     return info
 
 
@@ -830,11 +883,13 @@ def encode_file(
     seek_interval: Optional[int] = None,
     padding: int = 0,
     extra_metadata: Optional[List[bytes]] = None,
+    ogg: bool = False,
 ) -> StreamInfo:
     """File-to-file wav2flac (src/main.zig + src/wav2flac.zig). Streams:
-    host memory stays O(device batch) regardless of file size."""
+    host memory stays O(device batch) regardless of file size. ``ogg=True``
+    writes Ogg-FLAC in the same single pass."""
     return encode_file_streaming(
         input_path, output_path, config=config, backend=backend, tags=tags,
         seek_interval=seek_interval, padding=padding,
-        extra_metadata=extra_metadata,
+        extra_metadata=extra_metadata, ogg=ogg,
     )

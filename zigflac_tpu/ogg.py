@@ -289,3 +289,80 @@ def ogg_to_flac(data: bytes, verify_crc: bool = True) -> bytes:
 
 def is_ogg(data: bytes) -> bool:
     return data[:4] == OGG_MAGIC
+
+
+class OggStreamSink:
+    """Single-pass streaming Ogg-FLAC writer for the encoder: header pages
+    go out immediately with placeholder STREAMINFO/SEEKTABLE payloads,
+    frames packetize as each device batch collects, and ``finalize``
+    seek-rewrites the header pages with the final metadata — byte-layout
+    identical because Ogg lacing depends only on packet LENGTHS, which the
+    two-pass protocol keeps fixed (STREAMINFO is 38 bytes with its block
+    header; the SEEKTABLE is sized by its point count up front).
+
+    The write target must be seekable. The encoder's existing seek-back
+    protocol (src/wav2flac.zig:30-47's two-pass STREAMINFO) maps onto Ogg
+    unchanged: same placeholder-then-patch dance, at page granularity.
+    """
+
+    def __init__(self, out, serial: int = 0) -> None:
+        self.out = out
+        self.serial = serial or 0x464C4143
+        self._w = OggPageWriter(out, serial=self.serial)
+        self._hdr_start = None   # file offset of the first header page
+        self._hdr_layout = None  # metadata block lengths written at start
+        self._samples = 0
+
+    def write_headers(self, meta_blocks) -> None:
+        """``meta_blocks``: the native metadata chain (STREAMINFO first,
+        each with its 4-byte block header; last-flags as in the native
+        stream). Placeholder contents are fine — lengths are binding."""
+        streaminfo = meta_blocks[0]
+        others = list(meta_blocks[1:])
+        self._hdr_layout = [len(b) for b in meta_blocks]
+        self._emit_headers(streaminfo, others)
+
+    def _emit_headers(self, streaminfo, others) -> None:
+        def set_last(block, last):
+            return bytes([(block[0] & 0x7F) | (0x80 if last else 0)]) + block[1:]
+
+        streaminfo = set_last(streaminfo, not others)
+        if others:
+            others = [set_last(b, False) for b in others[:-1]] + [
+                set_last(others[-1], True)
+            ]
+        self._w.add_packet(
+            _build_first_packet(streaminfo, len(others)), 0, flush=True
+        )
+        if self._hdr_start is None:
+            self._hdr_start = self.out.tell()
+        for b in others:
+            self._w.add_packet(b, 0)
+        if others:
+            self._w._flush()
+
+    def add_frames(self, buf: bytes, sizes, samples_per_frame) -> None:
+        """One collected batch: ``buf`` is the concatenated frame bytes,
+        ``sizes`` their lengths, ``samples_per_frame`` the per-frame sample
+        counts (block size, except a ragged tail)."""
+        off = 0
+        for fsz, ns in zip(sizes, samples_per_frame):
+            self._samples += int(ns)
+            self._w.add_packet(buf[off : off + int(fsz)], self._samples)
+            off += int(fsz)
+
+    def finalize(self, meta_blocks) -> None:
+        """Close the stream (EOS page), then seek-rewrite page 0 and the
+        header pages with the final metadata. Lengths must match the
+        placeholders from ``write_headers`` exactly."""
+        assert [len(b) for b in meta_blocks] == self._hdr_layout, (
+            "metadata block sizes changed between placeholder and patch"
+        )
+        self._w.close(self._samples)
+        end = self.out.tell()
+        # replay the header pages deterministically over the placeholders
+        self.out.seek(0)
+        self._w = OggPageWriter(self.out, serial=self.serial)
+        self._emit_headers(meta_blocks[0], list(meta_blocks[1:]))
+        self.out.seek(end)
+        self.out.flush()
