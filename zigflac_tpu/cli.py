@@ -205,13 +205,8 @@ def _batch_main(args, cfg_kwargs) -> int:
         bad = []
         for f, p in zip(names, out_paths):
             with open(p, "rb") as fh:
-                data = fh.read()
-            if data[:4] == b"OggS":
-                from .ogg import ogg_to_flac
-
-                data = ogg_to_flac(data)
-            if not verify_flac(data):
-                bad.append(f)
+                if not verify_flac(fh.read()):  # Ogg-aware
+                    bad.append(f)
         if bad:
             print(f"verify: FAILED ({', '.join(bad)})", file=sys.stderr)
             return 3
@@ -326,12 +321,7 @@ def main(argv=None) -> int:
         from .decoder import verify_flac
 
         with open(args.output, "rb") as f:
-            data = f.read()
-        if data[:4] == b"OggS":
-            from .ogg import ogg_to_flac
-
-            data = ogg_to_flac(data)
-        ok = verify_flac(data)
+            ok = verify_flac(f.read())  # Ogg-aware
         if not ok:
             print("verify: FAILED", file=sys.stderr)
             return 3

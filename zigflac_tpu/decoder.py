@@ -663,12 +663,17 @@ def decode_range(
 
 def verify_flac(data: bytes) -> bool:
     """Decode + verify CRCs and MD5; True iff everything checks out.
+    Ogg-FLAC input is stripped transparently (page CRCs count too).
 
     Truncated input surfaces as EOFError/IndexError from the bit reader and
     metadata parser rather than FlacDecodeError — treat those as a clean
     verification failure, not a crash."""
     try:
+        if data[:4] == b"OggS":
+            from .ogg import ogg_to_flac
+
+            data = ogg_to_flac(data)
         dec = decode_flac(data, check_crc=True)
-    except (FlacDecodeError, EOFError, IndexError):
+    except (FlacDecodeError, EOFError, IndexError, ValueError):
         return False
     return dec.md5_ok
