@@ -540,7 +540,15 @@ struct BitRd {
         avail = 0;
         continue;
       }
-      buf <<= z + 1;  // zeros + the stop bit
+      // consume zeros + stop bit in TWO shifts: z + 1 can be 64 when a
+      // 63-zero run ends at the last bit of a full window, and a single
+      // 64-bit shift-by-64 is UB — x86 masks the count to 0, leaving the
+      // consumed stop bit as a stale 1 in the "empty" window that later
+      // surfaces inside a value read (found by tools/fuzz_long.py: one
+      // Rice remainder off by a single bit, CRC still passing because
+      // the reader consumed the right COUNT of bits)
+      buf <<= z;
+      buf <<= 1;
       avail -= z + 1;
       return q + (uint32_t)z;
     }

@@ -190,3 +190,29 @@ def test_fused_decode_crc_detection(rng, tmp_path):
     bp.write_bytes(bytes(flac))
     with pytest.raises(FlacDecodeError):
         decode_file(str(bp), str(tmp_path / "bad.wav"), backend="native")
+
+
+def test_unary_window_edge_vector():
+    """Regression: a >=63-zero unary run ending exactly at the last bit of
+    the native bit reader's full 64-bit window used to hit a shift-by-64
+    (UB; x86 masks the count to 0), leaving the consumed stop bit as a
+    stale 1 that surfaced inside a later Rice remainder — one residual
+    read +1 with the CRC still passing. tests/vectors/unary_window_edge
+    .flac is the fuzz-found stream (tools/fuzz_long.py seed 51966); its
+    embedded MD5 is the ground truth all backends must reproduce."""
+    import os
+
+    from zigflac_tpu.decoder import decode_flac
+
+    path = os.path.join(os.path.dirname(__file__), "vectors",
+                        "unary_window_edge.flac")
+    with open(path, "rb") as f:
+        data = f.read()
+    ref = None
+    for backend in ("host", "native", "device"):
+        dec = decode_flac(data, check_crc=True, backend=backend)
+        assert dec.md5_ok, f"{backend} backend MD5 mismatch"
+        if ref is None:
+            ref = dec.samples
+        else:
+            assert (dec.samples == ref).all(), backend
