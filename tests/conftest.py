@@ -31,6 +31,37 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Memoize the golden oracle's per-frame encode across the whole session:
+# the scalar host encode (~40 ms/frame on this 1-core host) is the suite's
+# remaining tail, and parity tests re-encode identical (content, config)
+# frames across test files. encode_frame is pure (samples + frame number +
+# streaminfo + config -> bytes), so memoization is exact; every call site
+# resolves it via module attribute access.
+import zigflac_tpu.golden as _golden
+
+_golden_encode_frame = _golden.encode_frame
+_golden_memo = {}
+
+
+def _memo_encode_frame(samples, frame_number, info, config):
+    key = (
+        tuple((s.tobytes(), s.dtype.str) for s in samples),
+        frame_number,
+        info.sample_rate,
+        info.bit_depth,
+        info.channels,
+        config,
+    )
+    got = _golden_memo.get(key)
+    if got is None:
+        got = _golden_memo[key] = _golden_encode_frame(
+            samples, frame_number, info, config
+        )
+    return got
+
+
+_golden.encode_frame = _memo_encode_frame
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -178,3 +178,69 @@ def test_streaming_single_pass_ogg_matches_transmux(tmp_path):
     rt = tmp_path / "rt.wav"
     decode_file(str(oga_path), str(rt), verify=True)
     assert rt.read_bytes() == wav_path.read_bytes()
+
+
+def test_chained_ogg_streams(tmp_path):
+    """Chained container (EOS then a fresh BOS, RFC 3533): ogg_to_flac
+    returns the first link, ogg_to_flac_all every link, and decode_file
+    decodes the first link transparently."""
+    from zigflac_tpu.decoder import decode_file
+
+    wav_a = _wav_bytes(seconds=0.3, seed=11)
+    wav_b = _wav_bytes(seconds=0.2, seed=12)
+    flac_a = encode_wav_bytes(wav_a, backend="golden")
+    flac_b = encode_wav_bytes(wav_b, backend="golden")
+    out = io.BytesIO()
+    ogg.flac_to_ogg(flac_a, out, serial=0x11111111)
+    ogg.flac_to_ogg(flac_b, out, serial=0x22222222)
+    chained = out.getvalue()
+    assert ogg.flac_serials(chained) == [0x11111111, 0x22222222]
+    assert ogg.ogg_to_flac(chained) == flac_a
+    assert ogg.ogg_to_flac(chained, serial=0x22222222) == flac_b
+    assert ogg.ogg_to_flac_all(chained) == [flac_a, flac_b]
+    oga_path = tmp_path / "chain.oga"
+    oga_path.write_bytes(chained)
+    wav_out = tmp_path / "chain.wav"
+    decode_file(str(oga_path), str(wav_out), verify=True)
+    assert wav_out.read_bytes() == wav_a
+
+
+def _interleave_pages(a: bytes, b: bytes) -> bytes:
+    """Multiplex two single-stream Ogg byte streams page by page."""
+    def pages(data):
+        out, pos = [], 0
+        while pos < len(data):
+            nsegs = data[pos + 26]
+            body = int(np.frombuffer(
+                data[pos + 27 : pos + 27 + nsegs], np.uint8).sum())
+            end = pos + 27 + nsegs + body
+            out.append(data[pos:end])
+            pos = end
+        return out
+    pa, pb = pages(a), pages(b)
+    out = []
+    for i in range(max(len(pa), len(pb))):
+        if i < len(pb):
+            out.append(pb[i])
+        if i < len(pa):
+            out.append(pa[i])
+    return b"".join(out)
+
+
+def test_multiplexed_ogg_picks_flac_stream():
+    """A FLAC stream multiplexed with a foreign (non-FLAC) logical stream:
+    the reader skips the foreign serial's pages — including its BOS that
+    appears FIRST in the file — and still recovers the FLAC stream."""
+    flac = encode_wav_bytes(_wav_bytes(seconds=0.25, seed=13), backend="golden")
+    fout = io.BytesIO()
+    ogg.flac_to_ogg(flac, fout, serial=0x0F1AC001)
+    other = io.BytesIO()
+    w = ogg.OggPageWriter(other, serial=0x07DE4D01)
+    w.add_packet(b"\x01vorbis-ish header", 0, flush=True)
+    for i in range(3):
+        w.add_packet(b"opaque payload %d" % i, i + 1, flush=True)
+    w.close(3)
+    mux = _interleave_pages(fout.getvalue(), other.getvalue())
+    assert ogg.flac_serials(mux) == [0x0F1AC001]
+    assert ogg.ogg_to_flac(mux) == flac
+    assert ogg.ogg_to_flac(mux, serial=0x0F1AC001) == flac

@@ -266,3 +266,41 @@ def test_cli_decode_forwards_backend(rng, tmp_path, monkeypatch):
                    "--backend", "golden"])
     assert rc == 0
     assert seen["backend"] == "host"
+
+
+def test_cli_list_metadata(rng, tmp_path, capsys):
+    """--list dumps every metadata block of native and Ogg-FLAC files
+    without an output path; a missing output without --list is a usage
+    error (exit 1, the reference CLI contract)."""
+    import io
+
+    from zigflac_tpu import ogg
+    from zigflac_tpu.cli import main
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+    from zigflac_tpu.wav import write_wav
+
+    pcm = make_signal(rng, 4096 * 2 + 100, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, pcm, 44100, 16)
+    flac = encode_wav_bytes(
+        buf.getvalue(), backend="golden",
+        tags=[("TITLE", "listme"), ("ARTIST", "x")], padding=512,
+    )
+    p = tmp_path / "a.flac"
+    p.write_bytes(flac)
+    assert main(["--list", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "STREAMINFO" in out and "44100 Hz, 2 ch, 16-bit" in out
+    assert "TITLE=listme" in out and "PADDING: 512 bytes" in out
+
+    oga = tmp_path / "a.oga"
+    sink = io.BytesIO()
+    ogg.flac_to_ogg(flac, sink)
+    oga.write_bytes(sink.getvalue())
+    assert main(["--list", str(oga)]) == 0
+    out = capsys.readouterr().out
+    assert "Ogg-FLAC" in out and "ARTIST=x" in out
+
+    with pytest.raises(SystemExit) as ei:
+        main([str(p)])
+    assert ei.value.code == 1

@@ -35,13 +35,18 @@ def build_parser() -> argparse.ArgumentParser:
         "with --batch)",
     )
     p.add_argument(
-        "output",
+        "output", nargs="?", default=None,
         help="output FLAC file (WAV with --decode; output directory "
-        "with --batch)",
+        "with --batch; omitted with --list)",
     )
     p.add_argument(
         "-d", "--decode", action="store_true",
         help="decode FLAC to WAV instead of encoding (flac2wav)",
+    )
+    p.add_argument(
+        "-l", "--list", action="store_true", dest="list_meta",
+        help="print the metadata of a FLAC / Ogg-FLAC file (no output "
+        "file) and exit",
     )
     p.add_argument(
         "--batch", action="store_true",
@@ -220,8 +225,97 @@ def _batch_main(args, cfg_kwargs) -> int:
     return 0
 
 
+def _list_main(args) -> int:
+    """metaflac-style metadata dump: every block of a native or Ogg-FLAC
+    file, with decoded STREAMINFO / tags / seek points / picture fields
+    (the blocks metadata.zig packs; the reference ships no reader)."""
+    import mmap
+    import os
+
+    from .decoder import BLOCK_NAMES, FlacDecodeError, metadata_blocks
+
+    try:
+        f = open(args.input, "rb")
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    with f:
+        data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        container = "FLAC"
+        if bytes(data[:4]) == b"OggS":
+            from .ogg import flac_serials, ogg_to_flac
+
+            serials = flac_serials(bytes(data))
+            container = "Ogg-FLAC"
+            if len(serials) > 1:
+                container += f" ({len(serials)} logical streams; first shown)"
+            try:
+                data = ogg_to_flac(bytes(data))
+            except ValueError as e:
+                print(f"error: invalid stream ({e})", file=sys.stderr)
+                return 2
+        print(f"{args.input}: {container}, "
+              f"{os.path.getsize(args.input)} bytes")
+        try:
+            for btype, body in metadata_blocks(data):
+                name = BLOCK_NAMES.get(btype, f"RESERVED({btype})")
+                print(f"  {name}: {len(body)} bytes")
+                if btype == 0 and len(body) == 34:
+                    packed = int.from_bytes(body[10:18], "big")
+                    rate = packed >> 44
+                    ch = ((packed >> 41) & 7) + 1
+                    depth = ((packed >> 36) & 0x1F) + 1
+                    total = packed & ((1 << 36) - 1)
+                    secs = total / rate if rate else 0.0
+                    print(f"    {rate} Hz, {ch} ch, {depth}-bit, "
+                          f"{total} samples ({secs:.3f} s)")
+                    print(
+                        "    block size "
+                        f"{int.from_bytes(body[0:2], 'big')}.."
+                        f"{int.from_bytes(body[2:4], 'big')}, frame size "
+                        f"{int.from_bytes(body[4:7], 'big')}.."
+                        f"{int.from_bytes(body[7:10], 'big')} bytes"
+                    )
+                    print(f"    MD5 {body[18:34].hex()}")
+                elif btype == 3:
+                    print(f"    {len(body) // 18} seek points")
+                elif btype == 4:
+                    vlen = int.from_bytes(body[0:4], "little")
+                    print(f"    vendor: "
+                          f"{body[4 : 4 + vlen].decode('utf-8', 'replace')}")
+                    p = 4 + vlen
+                    ntags = int.from_bytes(body[p : p + 4], "little")
+                    p += 4
+                    for _ in range(ntags):
+                        clen = int.from_bytes(body[p : p + 4], "little")
+                        p += 4
+                        print(f"    {body[p : p + clen].decode('utf-8', 'replace')}")
+                        p += clen
+                elif btype == 6 and len(body) >= 32:
+                    p = 4
+                    mlen = int.from_bytes(body[p : p + 4], "big")
+                    mime = body[p + 4 : p + 4 + mlen].decode("ascii", "replace")
+                    p += 4 + mlen
+                    dlen = int.from_bytes(body[p : p + 4], "big")
+                    p += 4 + dlen
+                    w = int.from_bytes(body[p : p + 4], "big")
+                    h = int.from_bytes(body[p + 4 : p + 8], "big")
+                    ilen = int.from_bytes(body[p + 16 : p + 20], "big")
+                    print(f"    {mime}, {w}x{h}, {ilen} image bytes")
+        except (FlacDecodeError, IndexError, EOFError) as e:
+            print(f"error: invalid FLAC stream ({e})", file=sys.stderr)
+            return 2
+    return 0
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.list_meta:
+        return _list_main(args)
+    if args.output is None:
+        parser.error("output path required (omit it only with --list)")
 
     if args.decode:
         return _decode_main(args)

@@ -124,6 +124,29 @@ def _parse_metadata(data: bytes):
     return info, vendor, tags, seektable, pos
 
 
+BLOCK_NAMES = {
+    0: "STREAMINFO", 1: "PADDING", 2: "APPLICATION", 3: "SEEKTABLE",
+    4: "VORBIS_COMMENT", 5: "CUESHEET", 6: "PICTURE",
+}
+
+
+def metadata_blocks(data):
+    """Walk the raw metadata chain of a native FLAC stream: yields
+    ``(block_type, body bytes)`` per block, STREAMINFO first (the block
+    layout of libFLAC/metadata.zig:3-18). ``data`` may be bytes or an mmap;
+    only the metadata head is touched."""
+    if bytes(data[:4]) != b"fLaC":
+        raise FlacDecodeError("bad signature")
+    pos = 4
+    while True:
+        hdr = data[pos]
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        yield hdr & 0x7F, bytes(data[pos + 4 : pos + 4 + length])
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+
+
 def _read_utf8_number(r: BitReader) -> int:
     first = r.read(8)
     if first < 0x80:

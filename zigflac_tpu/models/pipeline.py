@@ -219,14 +219,19 @@ class DevicePipeline:
     def _lpc_pre_from_lags(self, lags: np.ndarray):
         """LPC phase 2: host float Levinson + quantization over fetched
         integer lag sums (the only float math, one shared IEEE-deterministic
-        implementation — ops/lpc.py). Returns the (qc [n, P, K, 32] i32,
-        shift [n, P, K] i32, ok bool) main-program inputs."""
+        implementation — ops/lpc.py). Returns the (qc [n, P, K, lpc_order]
+        i16, shift [n, P, K] i8, ok bool) main-program inputs — the
+        narrowest lossless wire types (|qcoeff| < 2^14 at precision <= 15,
+        shift in [0, 15]): the qcoeffs upload is the LPC mode's largest
+        h2d block, and the traced program upcasts + zero-pads back to the
+        i32 [..., 32] layout analyze_planes consumes (_lpc_pre_list)."""
         from ..ops.lpc import coeffs_from_lags, lpc_candidate_orders
 
         orders = lpc_candidate_orders(self.config.lpc_order)
         pre = coeffs_from_lags(lags, orders, self.config.lpc_precision)
         qc = np.stack([p[1] for p in pre], axis=2)
-        sh = np.stack([p[2] for p in pre], axis=2)
+        qc = qc[..., : self.config.lpc_order].astype(np.int16)
+        sh = np.stack([p[2] for p in pre], axis=2).astype(np.int8)
         ok = np.stack([p[3] for p in pre], axis=2)
         return qc, sh, ok
 
@@ -472,14 +477,23 @@ def _compiled_lpc_lags(config: EncoderConfig, depth: int, c: int, block_size: in
 
 def _lpc_pre_list(config: EncoderConfig, lpc_qc, lpc_sh, lpc_ok):
     """Rebuild the per-candidate-order list analyze_planes consumes from the
-    flat (qc [n, P, K, 32], shift [n, P, K], ok [n, P, K]) program inputs."""
+    flat (qc [n, P, K, lpc_order] i16, shift [n, P, K] i8, ok [n, P, K])
+    program inputs: upcast to i32 and zero-pad the coefficient axis back to
+    32 inside the traced program (device-side, free) so the h2d block stays
+    at the narrow wire layout _lpc_pre_from_lags ships."""
     if lpc_qc is None:
         return None
     from ..ops.lpc import lpc_candidate_orders
 
+    qc = lpc_qc.astype(jnp.int32)
+    if qc.shape[-1] < 32:
+        qc = jnp.pad(
+            qc, [(0, 0)] * (qc.ndim - 1) + [(0, 32 - qc.shape[-1])]
+        )
+    sh = lpc_sh.astype(jnp.int32)
     orders = lpc_candidate_orders(config.lpc_order)
     return [
-        (o, lpc_qc[:, :, k], lpc_sh[:, :, k], lpc_ok[:, :, k])
+        (o, qc[:, :, k], sh[:, :, k], lpc_ok[:, :, k])
         for k, o in enumerate(orders)
     ]
 

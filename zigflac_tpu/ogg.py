@@ -213,22 +213,27 @@ def flac_to_ogg(flac, out, serial: int = 0) -> None:
 
 class OggPageReader:
     """Iterates (packets, granule) from an Ogg stream, CRC-checking pages
-    and reassembling packets across page boundaries."""
+    and reassembling packets across page boundaries. Handles multiplexed
+    containers (pages of several logical streams interleaved by serial
+    number, RFC 3533 §6) and chained containers (a finished stream followed
+    by a fresh BOS): ``packets`` follows ONE logical stream — by default
+    the first one in the file — skipping other serials' pages and stopping
+    at the selected stream's EOS page."""
 
     def __init__(self, data: bytes, verify_crc: bool = True) -> None:
         self.data = data
         self.verify_crc = verify_crc
 
-    def packets(self):
+    def pages(self):
+        """Yield raw pages as (htype, granule, serial, segs, body bytes)."""
         data = self.data
         pos = 0
-        partial = b""
         while pos < len(data):
             if data[pos : pos + 4] != OGG_MAGIC:
                 raise ValueError("bad Ogg page magic")
             if len(data) < pos + 27:
                 raise ValueError("truncated Ogg page header")
-            (ver, htype, granule, _serial, _seq, crc) = struct.unpack(
+            (ver, htype, granule, serial, _seq, crc) = struct.unpack(
                 "<BBQIIi", data[pos + 4 : pos + 26]
             )
             if ver != 0:
@@ -244,25 +249,81 @@ class OggPageReader:
                 zeroed = page[:22] + b"\x00\x00\x00\x00" + page[26:]
                 if ogg_crc(zeroed) != crc & 0xFFFFFFFF:
                     raise ValueError("Ogg page CRC mismatch")
+            yield htype, granule, serial, segs, data[body_off : body_off + body_len]
+            pos = body_off + body_len
+
+    def logical_streams(self):
+        """(serial, first-packet prefix) of every BOS page, in file order —
+        chained links and multiplexed streams both appear once each."""
+        out = []
+        for htype, _g, serial, _segs, body in self.pages():
+            if htype & 0x02:
+                out.append((serial, bytes(body[:16])))
+        return out
+
+    def packets(self, serial: int | None = None, bos_prefix: bytes = b""):
+        partial = b""
+        ended = False
+        for htype, granule, pserial, segs, body in self.pages():
+            if serial is None:
+                # lock onto the first stream in the file — or, with a
+                # ``bos_prefix``, the first whose BOS packet starts with it
+                # (skips other codecs' streams in a multiplexed container)
+                if bos_prefix and not (
+                    (htype & 0x02) and body.startswith(bos_prefix)
+                ):
+                    continue
+                serial = pserial
+            if pserial != serial:
+                continue
+            if ended:
+                # chained link reusing the serial: a fresh BOS after our EOS
+                break
             if not (htype & 0x01) and partial:
                 raise ValueError("lost packet continuation")
-            boff = body_off
-            for i, s in enumerate(segs):
-                partial += data[boff : boff + s]
+            boff = 0
+            for s in segs:
+                partial += body[boff : boff + s]
                 boff += s
                 if s < 255:
                     yield partial, granule
                     partial = b""
-            pos = body_off + body_len
+            if htype & 0x04:
+                ended = True
         if partial:
             raise ValueError("stream ends mid-packet")
 
 
-def ogg_to_flac(data: bytes, verify_crc: bool = True) -> bytes:
+def flac_serials(data: bytes, verify_crc: bool = True) -> list:
+    """Serial numbers of every FLAC logical stream in the container
+    (multiplexed streams and chained links alike), in file order."""
+    r = OggPageReader(data, verify_crc=verify_crc)
+    return [s for s, head in r.logical_streams() if head[:5] == b"\x7fFLAC"]
+
+
+def ogg_to_flac_all(data: bytes, verify_crc: bool = True) -> list:
+    """Every FLAC logical stream of a (possibly chained/multiplexed) Ogg
+    container as native FLAC byte streams, in file order."""
+    return [
+        ogg_to_flac(data, verify_crc=verify_crc, serial=s)
+        for s in flac_serials(data, verify_crc=verify_crc)
+    ]
+
+
+def ogg_to_flac(
+    data: bytes, verify_crc: bool = True, serial: int | None = None
+) -> bytes:
     """Transmux Ogg-FLAC back to a native FLAC stream (page CRCs checked).
-    The metadata chain's last-block flags are rebuilt."""
-    it = OggPageReader(data, verify_crc=verify_crc).packets()
-    first, _g = next(it)
+    The metadata chain's last-block flags are rebuilt. ``serial`` selects a
+    logical stream of a multiplexed/chained container; by default the first
+    FLAC stream in the file is taken (other codecs' streams are skipped)."""
+    it = OggPageReader(data, verify_crc=verify_crc).packets(
+        serial, bos_prefix=b"\x7fFLAC" if serial is None else b""
+    )
+    first_g = next(it, None)
+    if first_g is None:
+        raise ValueError("not an Ogg-FLAC stream (no FLAC logical stream)")
+    first, _g = first_g
     if first[:5] != b"\x7fFLAC":
         raise ValueError("not an Ogg-FLAC stream (bad first packet)")
     if first[5] != 1:
