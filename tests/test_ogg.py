@@ -244,3 +244,39 @@ def test_multiplexed_ogg_picks_flac_stream():
     assert ogg.flac_serials(mux) == [0x0F1AC001]
     assert ogg.ogg_to_flac(mux) == flac
     assert ogg.ogg_to_flac(mux, serial=0x0F1AC001) == flac
+
+
+def test_batch_ogg_single_pass_matches_transmux(tmp_path):
+    """encode_files(ogg=True) writes each Ogg-FLAC output in the SAME
+    single streaming pass as the native encode (per-file OggStreamSink in
+    the fused device pipeline) — byte-identical to transmuxing the native
+    output, across full-frame files, ragged tails, and both backends."""
+    from zigflac_tpu.models.encoder import encode_files
+    from zigflac_tpu.utils.config import EncoderConfig
+    from zigflac_tpu.wav import write_wav
+
+    rng = np.random.default_rng(21)
+    cfg = EncoderConfig(block_size=512, channels="stereo_auto")
+    lengths = [512 * 3, 512 * 2 + 177, 512 + 64]  # incl. ragged tails
+    ins = []
+    for i, n in enumerate(lengths):
+        t = np.arange(n)
+        x = 6000 * np.sin(2 * np.pi * (300 + 50 * i) * t / 44100)
+        pcm = np.clip(
+            np.round(x + rng.normal(0, 70, (2, n))), -32768, 32767
+        ).astype(np.int32)
+        p = tmp_path / f"in{i}.wav"
+        write_wav(str(p), pcm, 44100, 16)
+        ins.append(str(p))
+
+    for backend in ("device", "golden"):
+        native = [str(tmp_path / f"{backend}{i}.flac") for i in range(3)]
+        ogas = [str(tmp_path / f"{backend}{i}.oga") for i in range(3)]
+        encode_files(ins, native, config=cfg, backend=backend)
+        encode_files(ins, ogas, config=cfg, backend=backend, ogg=True)
+        for npath, opath in zip(native, ogas):
+            ref = io.BytesIO()
+            with open(npath, "rb") as f:
+                ogg.flac_to_ogg(f.read(), ref)
+            with open(opath, "rb") as f:
+                assert f.read() == ref.getvalue(), (backend, npath)

@@ -304,3 +304,32 @@ def test_cli_list_metadata(rng, tmp_path, capsys):
     with pytest.raises(SystemExit) as ei:
         main([str(p)])
     assert ei.value.code == 1
+
+
+def test_cli_test_mode(rng, tmp_path, capsys):
+    """-t/--test verifies without writing output: ok on a clean file (exit
+    0), exit 3 on a corrupted MD5, exit 2 on garbage."""
+    import io
+
+    from zigflac_tpu.cli import main
+    from zigflac_tpu.models.encoder import encode_wav_bytes
+    from zigflac_tpu.wav import write_wav
+
+    pcm = make_signal(rng, 4096 + 777, kind="mixed")
+    buf = io.BytesIO()
+    write_wav(buf, pcm, 44100, 16)
+    flac = bytearray(encode_wav_bytes(buf.getvalue(), backend="golden"))
+    p = tmp_path / "ok.flac"
+    p.write_bytes(bytes(flac))
+    assert main(["-t", str(p)]) == 0
+    assert ": ok (" in capsys.readouterr().out
+
+    bad = tmp_path / "badmd5.flac"
+    corrupt = bytearray(flac)
+    corrupt[26] ^= 0xFF  # flip a byte inside the STREAMINFO MD5 field
+    bad.write_bytes(bytes(corrupt))
+    assert main(["-t", str(bad)]) == 3
+
+    garbage = tmp_path / "garbage.flac"
+    garbage.write_bytes(b"not a flac stream at all")
+    assert main(["-t", str(garbage)]) == 2

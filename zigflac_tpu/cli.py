@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         "file) and exit",
     )
     p.add_argument(
+        "-t", "--test", action="store_true",
+        help="verify a FLAC / Ogg-FLAC file (every frame CRC + the "
+        "STREAMINFO MD5) without writing any output; exit 0 ok, 2 "
+        "malformed, 3 verification failure",
+    )
+    p.add_argument(
         "--batch", action="store_true",
         help="encode every .wav in the input directory into the output "
         "directory, frames of all files fused into shared device batches",
@@ -173,34 +179,19 @@ def _batch_main(args, cfg_kwargs) -> int:
         os.path.join(args.output, os.path.splitext(f)[0] + ext)
         for f in names
     ]
-    native_paths = (
-        [p + ".native.tmp" for p in out_paths] if want_ogg else out_paths
-    )
     t0 = time.perf_counter()
     try:
+        # ogg outputs write in the SAME single streaming pass (per-file
+        # OggStreamSink inside the fused pipeline) — no transmux stage
         encode_files(
-            in_paths, native_paths,
+            in_paths, out_paths,
             config=EncoderConfig(channels="stereo_auto", **cfg_kwargs),
-            backend=args.backend,
+            backend=args.backend, ogg=want_ogg,
         )
     except WavFormatError as e:
         print(f"format: flac does not support this wav format ({e})",
               file=sys.stderr)
         return 2
-    if want_ogg:
-        import mmap as _mmap
-
-        from .ogg import flac_to_ogg
-
-        for np_, op in zip(native_paths, out_paths):
-            with open(np_, "rb") as nf:
-                nm = _mmap.mmap(nf.fileno(), 0, access=_mmap.ACCESS_READ)
-                try:
-                    with open(op, "wb") as of:
-                        flac_to_ogg(nm, of)
-                finally:
-                    nm.close()
-            os.remove(np_)
     dt = time.perf_counter() - t0
     total_in = sum(os.path.getsize(p) for p in in_paths)
     total_out = sum(os.path.getsize(p) for p in out_paths)
@@ -308,14 +299,48 @@ def _list_main(args) -> int:
     return 0
 
 
+def _test_main(args) -> int:
+    """`flac -t` equivalent: streaming decode-and-verify (every frame CRC,
+    page CRCs for Ogg input, STREAMINFO MD5) with no output written."""
+    import os
+
+    from .decoder import FlacDecodeError, decode_file
+
+    backend = {"golden": "host"}.get(args.backend, args.backend)
+    t0 = time.perf_counter()
+    try:
+        info = decode_file(
+            args.input, os.devnull, check_crc=True, verify=True,
+            backend=backend,
+        )
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except (FlacDecodeError, EOFError, IndexError) as e:
+        if "MD5 mismatch" in str(e):
+            print(f"{args.input}: FAILED (MD5 mismatch)", file=sys.stderr)
+            return 3
+        print(f"{args.input}: FAILED ({e})", file=sys.stderr)
+        return 2
+    dt = time.perf_counter() - t0
+    secs = (
+        info.interchannel_samples / info.sample_rate if info.sample_rate else 0
+    )
+    print(f"{args.input}: ok ({info.interchannel_samples} samples, "
+          f"{secs:.3f} s, verified in {dt*1e3:.0f} ms)")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
 
     if args.list_meta:
         return _list_main(args)
+    if args.test:
+        return _test_main(args)
     if args.output is None:
-        parser.error("output path required (omit it only with --list)")
+        parser.error("output path required (omit it only with --list/--test)")
 
     if args.decode:
         return _decode_main(args)

@@ -255,18 +255,30 @@ def _device_available() -> bool:
 _reconstruct_raw_bytes = reconstruct_raw_bytes
 
 
+def _default_meta_chain(info: StreamInfo):
+    """The default-metadata chain (STREAMINFO + empty VorbisComment) as
+    Ogg-sink blocks: streaminfo_block's leading 'fLaC' magic lives in the
+    mapping header inside Ogg, so it is stripped here."""
+    return [
+        streaminfo_block(info, is_last=False)[4:],
+        vorbis_comment_block(is_last=True),
+    ]
+
+
 class _FileJob:
     """Per-file bookkeeping for the fused multi-file encode: the output
     stream (placeholder header already written), incremental MD5, collected
     frame sizes, and the outstanding-dispatch counter that gates the closing
-    seek-back."""
+    seek-back. With an Ogg ``sink`` the same two-pass protocol runs at page
+    granularity (ogg.OggStreamSink) and frames packetize as they collect."""
 
     __slots__ = (
         "info", "out", "md5", "sizes", "frame_no", "reading_done",
-        "queued", "inflight", "host_tail", "finalized",
+        "queued", "inflight", "host_tail", "finalized", "sink",
+        "samples_emitted",
     )
 
-    def __init__(self, info: StreamInfo, out) -> None:
+    def __init__(self, info: StreamInfo, out, sink=None) -> None:
         self.info = info
         self.out = out
         self.md5 = native.Md5Stream()
@@ -277,6 +289,27 @@ class _FileJob:
         self.inflight = 0  # dispatched segments not yet collected
         self.host_tail: Optional[bytes] = None
         self.finalized = False
+        self.sink = sink
+        self.samples_emitted = 0
+
+    def _frame_samples(self, k: int) -> List[int]:
+        """Sample counts of the next ``k`` sequential frames (frames
+        collect in order per file; only the last one is ragged)."""
+        block = self.info.max_block_size
+        out = []
+        for _ in range(k):
+            ns = min(
+                block, self.info.interchannel_samples - self.samples_emitted
+            )
+            self.samples_emitted += ns
+            out.append(ns)
+        return out
+
+    def write_frames(self, buf, sizes) -> None:
+        if self.sink is not None:
+            self.sink.add_frames(buf, sizes, self._frame_samples(len(sizes)))
+        else:
+            self.out.write(buf)
 
     def finalize_if_done(self) -> None:
         if (
@@ -285,13 +318,17 @@ class _FileJob:
         ):
             return
         if self.host_tail is not None:
-            self.out.write(self.host_tail)
+            self.write_frames(self.host_tail, [len(self.host_tail)])
             self.sizes.append(np.array([len(self.host_tail)], np.int64))
         all_sizes = (
             np.concatenate(self.sizes) if self.sizes else np.zeros(0, np.int64)
         )
         self.info.update_frame_sizes(all_sizes)
         self.info.md5 = self.md5.digest()
+        if self.sink is not None:
+            self.sink.finalize(_default_meta_chain(self.info))
+            self.finalized = True
+            return
         from ..metadata import HEADER_SIZE
 
         self.out.flush()
@@ -309,6 +346,7 @@ def _encode_group_fused(
     cfg: EncoderConfig,
     enc: "Encoder",
     frames_per_chunk: Optional[int],
+    ogg: bool = False,
 ) -> None:
     """Device-backend core of the multi-file encode: stream every file in
     ``idxs`` through one shared pipeline, fusing full frames across file
@@ -344,7 +382,7 @@ def _encode_group_fused(
             job = jobs[fi]
             fsz = sizes[pos_f : pos_f + cnt]
             nb = int(fsz.sum())
-            job.out.write(stream[pos_b : pos_b + nb])
+            job.write_frames(stream[pos_b : pos_b + nb], fsz)
             job.sizes.append(fsz)
             job.inflight -= 1
             pos_b += nb
@@ -389,9 +427,16 @@ def _encode_group_fused(
             info = wav.flac_streaminfo(block)
             infos[i] = info
             out = open_out(i)
-            out.write(b"\x00" * HEADER_SIZE)
-            out.write(vorbis_comment_block(is_last=True))
-            job = _FileJob(info, out)
+            if ogg:
+                from ..ogg import OggStreamSink
+
+                sink = OggStreamSink(out)
+                job = _FileJob(info, out, sink=sink)
+                sink.write_headers(_default_meta_chain(info))
+            else:
+                out.write(b"\x00" * HEADER_SIZE)
+                out.write(vorbis_comment_block(is_last=True))
+                job = _FileJob(info, out)
             jobs[i] = job
             c = wav.channels
             while True:
@@ -451,6 +496,7 @@ def encode_files(
     config: Optional[EncoderConfig] = None,
     backend: str = "auto",
     frames_per_chunk: Optional[int] = None,
+    ogg: bool = False,
 ) -> List[StreamInfo]:
     """Streaming multi-file wav2flac (BASELINE config 4): every input
     encodes to its output path with full frames from same-format files
@@ -462,7 +508,9 @@ def encode_files(
     like the single-file path; smaller tails ride the golden oracle.
 
     Byte-identical per file to ``encode_file`` / ``encode_wav_bytes`` with
-    default metadata (two-pass STREAMINFO + empty VorbisComment)."""
+    default metadata (two-pass STREAMINFO + empty VorbisComment).
+    ``ogg=True`` writes each output as Ogg-FLAC in the same single
+    streaming pass (byte-identical to transmuxing the native stream)."""
     return _encode_files_core(
         in_paths,
         lambda i: open(in_paths[i], "rb"),
@@ -471,6 +519,7 @@ def encode_files(
         config=config,
         backend=backend,
         frames_per_chunk=frames_per_chunk,
+        ogg=ogg,
     )
 
 
@@ -482,6 +531,7 @@ def _encode_files_core(
     config: Optional[EncoderConfig],
     backend: str,
     frames_per_chunk: Optional[int],
+    ogg: bool = False,
 ) -> List[StreamInfo]:
     from dataclasses import replace
 
@@ -516,7 +566,7 @@ def _encode_files_core(
             try:
                 _encode_group_fused(
                     idxs, open_in, open_out_tracked, infos, cfg, enc,
-                    frames_per_chunk,
+                    frames_per_chunk, ogg=ogg,
                 )
             finally:
                 if close_out:
@@ -529,25 +579,45 @@ def _encode_files_core(
                 out = open_out(i)
                 try:
                     with WavStreamReader(open_in(i), _close=True) as wav:
-                        infos[i] = _encode_stream_to_file(wav, out, cfg, enc)
+                        infos[i] = _encode_stream_to_file(
+                            wav, out, cfg, enc, ogg=ogg
+                        )
                 finally:
                     if close_out:
                         out.close()
     return infos  # type: ignore[return-value]
 
 
-def _encode_stream_to_file(wav, out, cfg: EncoderConfig, enc: "Encoder"):
+def _encode_stream_to_file(
+    wav, out, cfg: EncoderConfig, enc: "Encoder", ogg: bool = False
+):
     """Golden-backend single-file body for the multi-file path: placeholder
-    header + frames + seek-back, O(chunk) memory."""
+    header + frames + seek-back, O(chunk) memory (page-granular via
+    ogg.OggStreamSink when ``ogg``)."""
     from ..metadata import HEADER_SIZE
 
     info = wav.flac_streaminfo(cfg.block_size)
     block = cfg.block_size
-    out.write(b"\x00" * HEADER_SIZE)
-    out.write(vorbis_comment_block(is_last=True))
+    sink = None
+    if ogg:
+        from ..ogg import OggStreamSink
+
+        sink = OggStreamSink(out)
+        sink.write_headers(_default_meta_chain(info))
+    else:
+        out.write(b"\x00" * HEADER_SIZE)
+        out.write(vorbis_comment_block(is_last=True))
     md5 = native.Md5Stream()
     sizes: List[int] = []
     frame_no = 0
+
+    def emit(fb: bytes, ns: int) -> None:
+        if sink is not None:
+            sink.add_frames(fb, [len(fb)], [ns])
+        else:
+            out.write(fb)
+        sizes.append(len(fb))
+
     while True:
         raw, planar = wav.read_samples(1024 * block)
         if planar.shape[1] == 0:
@@ -557,19 +627,18 @@ def _encode_stream_to_file(wav, out, cfg: EncoderConfig, enc: "Encoder"):
         n_full = m // block
         for k in range(n_full):
             planes = [planar[ch, k * block : (k + 1) * block] for ch in range(c)]
-            fb = enc.encode_frame(planes, frame_no, info)
-            out.write(fb)
-            sizes.append(len(fb))
+            emit(enc.encode_frame(planes, frame_no, info), block)
             frame_no += 1
         rem = m - n_full * block
         if rem:
             planes = [planar[ch, n_full * block :] for ch in range(c)]
-            fb = enc.encode_frame(planes, frame_no, info)
-            out.write(fb)
-            sizes.append(len(fb))
+            emit(enc.encode_frame(planes, frame_no, info), rem)
             frame_no += 1
     info.update_frame_sizes(np.array(sizes, np.int64))
     info.md5 = md5.digest()
+    if sink is not None:
+        sink.finalize(_default_meta_chain(info))
+        return info
     out.flush()
     out.seek(0)
     out.write(streaminfo_block(info, is_last=False)[:HEADER_SIZE])

@@ -574,11 +574,13 @@ def deposit_stream_windowed(
     # interleave the per-dword word pairs back to stream words [N, nch, W]
     acc = jnp.stack([acc0, acc1], axis=-1).reshape(n, nch, W)
 
-    # stage 2: overlap-add via one-hot matmul over row_words-word rows.
-    # The four byte planes ride ONE matmul, concatenated along the minor
-    # (word) axis, so the [N, R, K] one-hot is generated and read once
-    # instead of once per plane (stage 2 is traffic-bound: the one-hot is
-    # its largest tensor).
+    # stage 2: overlap-add via one-hot matmul over row_words-word rows,
+    # one matmul per byte plane. MEASURED (v5e, 1024-frame 16-bit batch):
+    # concatenating the four planes on the minor axis so one wider matmul
+    # reads the one-hot once is ~0.6-1.5 ms SLOWER — the [N, K, 4*rw]
+    # concat materializes and the [N, R, 4*rw] f32 output outweighs the
+    # saved one-hot reads; per-plane, XLA fuses each plane's shift/mask
+    # into the matmul operand.
     K = nch * win_rows
     winb = acc.reshape(n, K, row_words)
     keys = base_row[:, :, None] + jnp.arange(win_rows, dtype=jnp.int32)
@@ -587,20 +589,14 @@ def deposit_stream_windowed(
     onehot = (
         keys[:, None, :] == jnp.arange(R, dtype=jnp.int32)[None, :, None]
     ).astype(jnp.bfloat16)  # [N, R, K]
-    planes = jnp.concatenate(
-        [((winb >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
-        axis=2,
-    )  # [N, K, 4 * row_words]
-    summed = jax.lax.dot_general(
-        onehot, planes, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [N, R, 4 * row_words]; each entry <= 255 (disjoint bits), exact
     out = jnp.zeros((n, R, row_words), jnp.int32)
     for b in range(4):
-        out = out + (
-            summed[:, :, b * row_words : (b + 1) * row_words].astype(jnp.int32)
-            << (8 * b)
-        )
+        plane = ((winb >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+        summed = jax.lax.dot_general(
+            onehot, plane, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [N, R, row_words]; each entry <= 255 (disjoint bits), exact
+        out = out + (summed.astype(jnp.int32) << (8 * b))
     words = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(
         n, R * row_words
     )
