@@ -63,6 +63,35 @@ def _memo_encode_frame(samples, frame_number, info, config):
 _golden.encode_frame = _memo_encode_frame
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_compiled_programs():
+    """Drop every live compiled XLA executable between test MODULES.
+
+    Measured on the 1-core CI host: once a few GB of compiled programs +
+    their constants accumulate (the suite builds hundreds of shapes), every
+    later test runs 3-8x slower with ~60% kernel time — a fuzz case that
+    takes 12-16 s in a fresh process took 49-121 s late in the suite.
+    Clearing jax's executable caches and the package's compiled-program
+    lru_caches at module teardown restores fresh-process speed; recompiles
+    in later modules reload from the persistent .jax_cache disk cache
+    instead of compiling."""
+    yield
+    import gc
+
+    from zigflac_tpu.models import pipeline
+    from zigflac_tpu.ops import synth
+    from zigflac_tpu.parallel import mesh
+
+    pipeline._compiled_encode_batch.cache_clear()
+    pipeline._compiled_encode_compact.cache_clear()
+    pipeline._compiled_lpc_lags.cache_clear()
+    mesh._sharded_compact_fn.cache_clear()
+    synth._compiled_synth.cache_clear()
+    synth._compiled_recombine.cache_clear()
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0xF1AC)

@@ -148,3 +148,49 @@ def test_fuzz_config_space(case):
     ref = WavReader.from_bytes(wav_bytes).planar_samples()
     np.testing.assert_array_equal(dec.samples, ref.astype(np.int64))
     assert dec.md5_ok and verify_flac(g)
+
+
+@pytest.mark.parametrize("mode", ["flip", "burst", "truncate"])
+def test_fuzz_corrupt_decode_fails_cleanly(mode):
+    """Decode-side adversarial property (tools/fuzz_decode.py is the long
+    form): corrupted / truncated streams through BOTH decode surfaces (host
+    scalar + native fused file path) either fail with a clean typed error
+    or decode with the corruption caught by CRC/MD5 — never crash."""
+    import os
+    import tempfile
+
+    from zigflac_tpu.decoder import FlacDecodeError, decode_file
+
+    rng = np.random.default_rng(0xC0 + len(mode))
+    base_pcm = _random_signal(np.random.default_rng(3), 4096 + 515, 2, 16)
+    buf = io.BytesIO()
+    write_wav(buf, base_pcm, 44100, 16)
+    seed = encode_wav_bytes(buf.getvalue(), backend="golden")
+    ok_errors = (FlacDecodeError, ValueError, EOFError, IndexError)
+    for _ in range(12):
+        b = bytearray(seed)
+        if mode == "flip":
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        elif mode == "burst":
+            at = int(rng.integers(0, len(b)))
+            ln = int(rng.integers(1, 64))
+            b[at : at + ln] = bytes(
+                rng.integers(0, 256, min(ln, len(b) - at), dtype=np.uint8)
+            )
+        else:
+            b = b[: rng.integers(0, len(b))]
+        blob = bytes(b)
+        try:
+            dec = decode_flac(blob, check_crc=True)
+            assert isinstance(dec.md5_ok, (bool, np.bool_))
+        except ok_errors:
+            pass
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "x.flac")
+            with open(p, "wb") as f:
+                f.write(blob)
+            try:
+                decode_file(p, os.path.join(td, "x.wav"), check_crc=True,
+                            verify=True, backend="native")
+            except ok_errors:
+                pass
