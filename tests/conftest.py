@@ -28,6 +28,23 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Build the C++ host runtime in place when absent (fresh clones ship no
+# .so): without it the native decoder/MD5/CRC tests silently skip — 23
+# tests in a fresh checkout. Failure to build is non-fatal (those tests
+# keep skipping, as before).
+import glob as _glob
+import pathlib as _pathlib
+import subprocess as _subprocess
+import sys as _sys
+
+_root = _pathlib.Path(__file__).resolve().parent.parent
+if not _glob.glob(str(_root / "_zf_native*.so")):
+    _subprocess.run(
+        [_sys.executable, str(_root / "native" / "setup.py"), "build_ext",
+         "--inplace"],
+        cwd=str(_root), check=False, capture_output=True,
+    )
+
 import numpy as np
 import pytest
 

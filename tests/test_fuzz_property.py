@@ -194,3 +194,27 @@ def test_fuzz_corrupt_decode_fails_cleanly(mode):
                             verify=True, backend="native")
             except ok_errors:
                 pass
+
+
+def test_corrupt_vorbis_tag_count_fails_fast():
+    """A VorbisComment whose claimed tag count is huge but whose body is
+    exhausted must raise promptly, not spin ~2^32 zero-length reads
+    (regression: hang found by tools/fuzz_decode.py)."""
+    import time
+
+    from zigflac_tpu.decoder import FlacDecodeError
+
+    base_pcm = _random_signal(np.random.default_rng(9), 4096, 2, 16)
+    buf = io.BytesIO()
+    write_wav(buf, base_pcm, 44100, 16)
+    flac = bytearray(encode_wav_bytes(buf.getvalue(), backend="golden"))
+    # the metadata chain is STREAMINFO (4+4+34) then VorbisComment; its
+    # body starts after the 4-byte block header
+    vc_body = 4 + 4 + 34 + 4
+    vlen = int.from_bytes(flac[vc_body : vc_body + 4], "little")
+    ntags_at = vc_body + 4 + vlen
+    flac[ntags_at : ntags_at + 4] = (0xFFFFFFF0).to_bytes(4, "little")
+    t0 = time.perf_counter()
+    with pytest.raises((FlacDecodeError, ValueError, EOFError, IndexError)):
+        decode_flac(bytes(flac))
+    assert time.perf_counter() - t0 < 5.0

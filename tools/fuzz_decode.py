@@ -24,7 +24,7 @@ OK_ERRORS = (FlacDecodeError, ValueError, EOFError, IndexError)
 
 def make_seed_streams():
     """A few valid streams across depths/configs (golden backend: no jax)."""
-    rng = np.random.default_rng(0xDECO)
+    rng = np.random.default_rng(0xDEC0DE)
     out = []
     for depth, n, kind in [(16, 4096 * 2 + 333, "mixed"),
                            (24, 4096 + 100, "noise"),

@@ -277,7 +277,11 @@ def _list_main(args) -> int:
                     p = 4 + vlen
                     ntags = int.from_bytes(body[p : p + 4], "little")
                     p += 4
+                    # claimed counts can lie; bound by the real body
                     for _ in range(ntags):
+                        if p + 4 > len(body):
+                            print("    (truncated VorbisComment)")
+                            break
                         clen = int.from_bytes(body[p : p + 4], "little")
                         p += 4
                         print(f"    {body[p : p + clen].decode('utf-8', 'replace')}")

@@ -110,7 +110,12 @@ def _parse_metadata(data: bytes):
             p = 4 + vlen
             ntags = int.from_bytes(body[p : p + 4], "little")
             p += 4
+            # bound the loop by the REAL body, not the claimed count: a
+            # corrupted ntags (up to 2^32) over an exhausted body spins
+            # ~forever on zero-length reads (found by tools/fuzz_decode.py)
             for _ in range(ntags):
+                if p + 4 > len(body):
+                    raise FlacDecodeError("truncated VorbisComment block")
                 clen = int.from_bytes(body[p : p + 4], "little")
                 p += 4
                 comment = body[p : p + clen].decode("utf-8", "replace")

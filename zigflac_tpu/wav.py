@@ -370,11 +370,21 @@ def wav_pcm_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
 def wav_header_bytes(
     n_samples: int, channels: int, sample_rate: int, bit_depth: int
 ) -> bytes:
-    """RIFF/WAVE/fmt/data headers for a PCM stream of known length."""
+    """RIFF/WAVE/fmt/data headers for a PCM stream of known length.
+
+    RIFF sizes are u32: a stream past ~4 GB of PCM cannot be represented
+    (no RF64 support), so raise a clean ValueError instead of overflowing —
+    reachable from a FLAC whose (possibly corrupt) STREAMINFO claims a
+    giant total-samples count (found by tools/fuzz_decode.py)."""
     nb = (bit_depth + 7) // 8
     block_align = channels * nb
     byte_rate = sample_rate * block_align
     data_len = n_samples * block_align
+    if data_len + 36 > 0xFFFFFFFF:
+        raise ValueError(
+            f"PCM stream too large for a RIFF/WAVE container "
+            f"({data_len} data bytes > u32 size field)"
+        )
     hdr = io.BytesIO()
     hdr.write(b"RIFF")
     hdr.write((36 + data_len).to_bytes(4, "little"))
