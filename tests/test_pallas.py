@@ -400,3 +400,80 @@ def test_windowed_deposit_property_fuzz(rng):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=f"trial {trial}"
         )
+
+
+def test_windowed_quad_deposit_matches_segsum(rng):
+    """Quad-merge mode (<=96-bit deposits over three u32 limbs, 3 dword
+    slots): bit-identical to the exact segment-sum deposits across merged
+    values, masked columns, odd counts, and chunk-crossing streams."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from zigflac_tpu.ops.bitpack import deposit_words, deposit_stream_windowed
+
+    for n, s, max_nbv, gap in [
+        (3, 200, 12, 4), (2, 257, 16, 6), (1, 64, 17, 2), (2, 301, 10, 3),
+    ]:
+        d_cum, val, nbv = _rand_stream(
+            rng, n, s, max_nbv=max_nbv, gap=gap, dtype=np.uint64
+        )
+        if s == 301:  # masked columns + odd count
+            kill = rng.random((n, s)) < 0.4
+            nbv = np.where(kill, 0, nbv)
+            val = np.where(kill, 0, val)
+            nb = np.where(kill, 0, np.diff(np.concatenate(
+                [np.zeros((n, 1), np.int32), d_cum], axis=1), axis=1))
+            d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+        W = int(d_cum.max() // 32) + 3
+
+        @partial(jax.jit, static_argnums=(3, 4))
+        def both(d, v, nv, w, wr):
+            return (
+                deposit_words(d, v, nv, w),
+                *deposit_stream_windowed(
+                    d, v, nv, w, chunk=16, win_rows=wr, row_words=32,
+                    quad=True,
+                ),
+            )
+
+        # window: 16 quads of <= 4*(max_nbv+gap) bits + remainder + slack
+        span_dw = -(-16 * 4 * (max_nbv + gap) // 64)
+        wr = -(-(span_dw + 15 + 2) // 16)
+        a, b, ovf = both(
+            jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv), W, wr
+        )
+        assert not bool(np.asarray(ovf))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_windowed_quad_unmergeable_flags_overflow(rng):
+    """A quad whose combined span exceeds 96 bits must raise the overflow
+    flag (tier-1 re-encode uses pair merging via deposit='windowed_pair')."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from zigflac_tpu.ops.bitpack import deposit_stream_windowed
+
+    n, s = 1, 256
+    nb = np.full((n, s), 8, np.int32)
+    nb[0, 5] = 90  # pair(8+90)=98 > 64 merges... pair-cannot already
+    nbv = np.minimum(nb, 8)
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    val = np.full((n, s), 0xAB, np.uint64)
+    win = partial(jax.jit, static_argnums=3)(
+        lambda d, v, nv, w: deposit_stream_windowed(
+            d, v, nv, w, chunk=16, win_rows=4, row_words=32, quad=True
+        )
+    )
+    _, ovf = win(jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv),
+                 int(d_cum.max() // 32) + 3)
+    assert bool(np.asarray(ovf))
+    # quad-only impossibility: pairs fit (<=64) but the quad exceeds 96
+    nb = np.full((n, s), 30, np.int32)
+    nbv2 = np.minimum(nb, 30)
+    d_cum = np.cumsum(nb, axis=1).astype(np.int32)
+    _, ovf = win(jnp.asarray(d_cum), jnp.asarray(val), jnp.asarray(nbv2),
+                 int(d_cum.max() // 32) + 3)
+    assert bool(np.asarray(ovf))

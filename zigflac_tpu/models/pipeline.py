@@ -447,6 +447,12 @@ def _compiled_encode_compact(
     raw_bytes = batch * block_size * c * max(depth, 8) // 8
     # slack: per-frame ALIGN_W-group round-up (4*ALIGN_W bytes) + headroom
     capb = int(raw_bytes * stream_ratio) + (4 * ALIGN_W + 32) * batch
+    deposit = _default_deposit()
+    if deposit == "windowed" and tier > 0:
+        # ladder re-encodes force pair merging: content whose quads could
+        # not merge (or out-spanned the window) still gets a fast windowed
+        # pass before the exact scatter path
+        deposit = "windowed_pair"
     return (
         jax.jit(
             partial(
@@ -457,7 +463,7 @@ def _compiled_encode_compact(
                 block_size=block_size,
                 max_words=max_words,
                 capb=capb,
-                deposit=_default_deposit(),
+                deposit=deposit,
                 speculate=tier == 0,
             )
         ),

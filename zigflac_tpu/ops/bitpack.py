@@ -483,6 +483,7 @@ def deposit_stream_windowed(
     chunk: int = 128,
     win_rows: int = 8,
     row_words: int = 32,
+    quad: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-XLA windowed binning of the pair-merged deposit stream — no
     Pallas, no scatter, MXU for the window combine.
@@ -510,10 +511,19 @@ def deposit_stream_windowed(
     window-span check with merge-impossibility, and the caller falls back
     to the exact segment-sum path (same protocol as the Pallas kernel).
     """
-    from .pallas_deposit import _merge_pairs, _split2d
+    from .pallas_deposit import _merge_pairs, _merge_quads, _split2d, _split3d
 
-    d_cum, val, nbv, cannot = _merge_pairs(d_cum, val, nbv)
-    dw0, s0, s1, s2, s3 = _split2d(d_cum, val, nbv)
+    if quad:
+        # <=96-bit quad deposits: 3 dword slots, 5 live word contributions
+        # (the 6th window word is provably untouched — _split3d)
+        d_cum, val3, nbv, cannot = _merge_quads(d_cum, val, nbv)
+        dw0, s0, s1, s2, s3, s4 = _split3d(d_cum, val3, nbv)
+        span_slack = 3
+    else:
+        d_cum, val, nbv, cannot = _merge_pairs(d_cum, val, nbv)
+        dw0, s0, s1, s2, s3 = _split2d(d_cum, val, nbv)
+        s4 = None
+        span_slack = 2
     n, s = dw0.shape
     W = win_rows * row_words
     Wd = W // 2  # window size in 64-bit dwords
@@ -532,6 +542,8 @@ def deposit_stream_windowed(
         s1 = jnp.concatenate([s1, z], axis=1)
         s2 = jnp.concatenate([s2, z], axis=1)
         s3 = jnp.concatenate([s3, z], axis=1)
+        if s4 is not None:
+            s4 = jnp.concatenate([s4, z], axis=1)
     nch = s_pad // chunk
 
     row_sh = row_words.bit_length() - 1
@@ -539,7 +551,7 @@ def deposit_stream_windowed(
     dwr = dw0.reshape(n, nch, chunk)
     base_row = dwr[:, :, 0] >> (row_sh - 1)  # [N, nch] output row of chunk
     rel = dwr - (base_row[:, :, None] << (row_sh - 1))  # in-window dword
-    overflow = jnp.any(rel > Wd - 2) | cannot
+    overflow = jnp.any(rel > Wd - span_slack) | cannot
 
     # stage 1: per-chunk windows binned at DWORD granularity (i32 adds of
     # disjoint-bit values == or). Each deposit spans at most two dwords,
@@ -551,10 +563,16 @@ def deposit_stream_windowed(
     # deposit-major layout breaks XLA's reduce fusion and spills the
     # intermediate to HBM; minor-axis chunks fuse fully and run at VPU
     # compute throughput.
-    def cc(a, b):
-        ai = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(n, nch, 1, chunk)
-        bi = jax.lax.bitcast_convert_type(b, jnp.int32).reshape(n, nch, 1, chunk)
-        return jnp.concatenate([ai, bi], axis=3)
+    def cc(*streams):
+        return jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(x, jnp.int32).reshape(
+                    n, nch, 1, chunk
+                )
+                for x in streams
+            ],
+            axis=3,
+        )
 
     # TWO sibling reduces, one per word plane, each recomputing the slot
     # compare inline. (A single reduce over a stacked plane axis reads
@@ -565,9 +583,18 @@ def deposit_stream_windowed(
     relx = rel[:, :, None, :]
     relcat = jnp.concatenate([relx, relx + 1], axis=3)  # [N, nch, 1, 2c]
     z32 = jnp.int32(0)
-    acc0 = jnp.where(relcat == tio, cc(s0, s2), z32).sum(
-        axis=3, dtype=jnp.int32
-    )
+    if quad:
+        # a quad deposit covers dwords rel..rel+2: the EVEN word plane
+        # needs all three slots (s0, s2, s4); the odd plane only two —
+        # s4's partner word is provably zero (_split3d)
+        relcat3 = jnp.concatenate([relx, relx + 1, relx + 2], axis=3)
+        acc0 = jnp.where(relcat3 == tio, cc(s0, s2, s4), z32).sum(
+            axis=3, dtype=jnp.int32
+        )
+    else:
+        acc0 = jnp.where(relcat == tio, cc(s0, s2), z32).sum(
+            axis=3, dtype=jnp.int32
+        )
     acc1 = jnp.where(relcat == tio, cc(s1, s3), z32).sum(
         axis=3, dtype=jnp.int32
     )
@@ -629,33 +656,51 @@ def pack_frames(
         lpc_order=lpc_order, lpc_precision=lpc_precision,
     )
 
-    if deposit in ("binned", "windowed"):
+    if deposit in ("binned", "windowed", "windowed_pair"):
         # both fast paths pair-merge adjacent symbols into <=64-bit
         # deposits, so values are u64 regardless of depth
         dep_val = jnp.concatenate(
             [v.astype(jnp.uint64) for v in dep_val_parts], axis=1
         )
-        if deposit == "windowed":
+        if deposit in ("windowed", "windowed_pair"):
             # chunk/window sizing: stage-1 cost scales as S * window, so
             # small chunks with tight windows win — measured sweet spot
-            # chunk=32 (chunk 128 -> 32 cut the deposit stage ~35%;
+            # chunk=32 pairs (chunk 128 -> 32 cut the deposit stage ~35%;
             # 16/8 lose to per-chunk overheads). Windows align to 32-word
             # (16-dword) rows: a window needs the <=15-dword alignment
-            # remainder + the content span + 1 spill dword. The span is
-            # depth-bound: a sustained merged-pair width beyond
-            # 2*(depth+2) bits (escape samples <= depth+1 plus a 5-bit
-            # param column) implies the estimator would have chosen
+            # remainder + the content span + the span-check slack. The
+            # span is depth-bound: a sustained merged width beyond
+            # (depth+2) bits per symbol (escape samples <= depth+1 plus a
+            # 5-bit param column) implies the estimator would have chosen
             # verbatim, so heavier chunks only arise on adversarial
             # content, where the overflow flag falls back to the exact
-            # path. depth <=24 -> 3 rows (96 words); 33-bit side
-            # channels (i64 planes, pairs to 68 bits) -> 4 rows.
-            chunk = 32
-            pair_bits = 68 if plan.planes.dtype == jnp.int64 else 2 * (depth + 2)
-            span_dw = -(-chunk * pair_bits // 64)
-            wr = -(-(span_dw + 15 + 1) // 16)
+            # path. depth <= 16 quad-merges 4 symbols into <=96-bit
+            # deposits (16 per chunk — same chunk count and window as 32
+            # pairs, ~37% less stage-1 compare work); deeper content and
+            # 33-bit side channels (i64 planes) stay pair-merged.
+            # "windowed_pair" forces pairs — the capacity ladder's tier-1
+            # re-encode uses it so quad-unmergeable content still gets a
+            # fast windowed pass instead of the exact scatter path.
+            quad = (
+                deposit == "windowed"
+                and depth <= 16
+                and plan.planes.dtype != jnp.int64
+            )
+            if quad:
+                chunk = 16
+                unit_bits = 4 * (depth + 2)
+                slack = 2  # rel <= Wd - 3: 3-dword spans
+            else:
+                chunk = 32
+                unit_bits = (
+                    68 if plan.planes.dtype == jnp.int64 else 2 * (depth + 2)
+                )
+                slack = 1  # rel <= Wd - 2
+            span_dw = -(-chunk * unit_bits // 64)
+            wr = -(-(span_dw + 15 + slack) // 16)
             main_words, overflow = deposit_stream_windowed(
                 dep_cum, dep_val, dep_nbv, max_words, chunk=chunk,
-                win_rows=wr, row_words=32,
+                win_rows=wr, row_words=32, quad=quad,
             )
         else:
             from .pallas_deposit import deposit_stream_binned

@@ -209,6 +209,94 @@ def _merge_pairs(d_cum, val, nbv):
     return cb, (hm, lm), nm, cannot
 
 
+def _merge_quads(d_cum, val, nbv):
+    """Two merge rounds: pairs (<=64-bit, _merge_pairs) then adjacent PAIR
+    deposits into <=96-bit quads — (val_a << width_b) | val_b over three
+    u32 limbs, deposited at the quad-field end. The deposit stream shrinks
+    to ceil(S/4) columns, and dword-granular binning needs only 3 slot
+    compares per deposit (5 live word contributions — the 6th word is
+    provably untouched), so stage-1 compare work drops ~37% vs pairs.
+    Gate by content width: 4 symbols of ~(depth+2) bits must fit 96, so
+    callers use quads for depth <= 16 only (pairs cover the rest).
+    Returns (d_cum, (h, m, l) u32 limbs, nbv, cannot)."""
+    d_cum, (ha_all, la_all), nbv, cannot1 = _merge_pairs(d_cum, val, nbv)
+    n, s = d_cum.shape
+    if s % 2:
+        d_cum = jnp.concatenate([d_cum, d_cum[:, -1:]], axis=1)
+        z = jnp.zeros((n, 1), jnp.uint32)
+        ha_all = jnp.concatenate([ha_all, z], axis=1)
+        la_all = jnp.concatenate([la_all, z], axis=1)
+        nbv = jnp.concatenate([nbv, jnp.zeros((n, 1), nbv.dtype)], axis=1)
+    ca, cb = d_cum[:, 0::2], d_cum[:, 1::2]
+    ha, la = ha_all[:, 0::2], la_all[:, 0::2]
+    hb, lb = ha_all[:, 1::2], la_all[:, 1::2]
+    na, nb_ = nbv[:, 0::2], nbv[:, 1::2]
+    width_b = cb - ca  # field b's TOTAL width (unary zeros included)
+    a_live = na > 0
+    tot = na + width_b
+    cannot = cannot1 | jnp.any(a_live & (tot > 96))
+    # (ha, la) << width_b over three limbs; width_b in [0, 95] if mergeable
+    k = jnp.clip(width_b >> 5, 0, 2)
+    b = width_b & 31
+    c2, c1, c0 = _shl_pair(ha, la, b)
+    z = jnp.uint32(0)
+    k1 = k == 1
+    k2 = k == 2
+    # limb-rotate by k: value < 2^(96 - 32k) when merging, so nothing spills
+    sh_h = jnp.where(k2, c0, jnp.where(k1, c1, c2))
+    sh_m = jnp.where(k2, z, jnp.where(k1, c0, c1))
+    sh_l = jnp.where(k2, z, jnp.where(k1, z, c0))
+    # field b's value (<= 64 bits, right-aligned) is disjoint when merging
+    hm = jnp.where(a_live, sh_h, z)
+    mm = jnp.where(a_live, sh_m | hb, hb)
+    lm = jnp.where(a_live, sh_l | lb, lb)
+    nm = jnp.where(a_live, tot, nb_)
+    return cb, (hm, mm, lm), nm, cannot
+
+
+def _split3d(d_cum, val3, nbv):
+    """Per-deposit first-DWORD index + five u32 word contributions: a
+    <=96-bit value at in-dword bit offset r <= 63 ends by bit r + 96 <=
+    159, so it spans at most THREE dwords but only FIVE words of the
+    192-bit window (the 6th word starts at bit 160 — provably untouched).
+    Left-justify over limbs: shift 192 - r - nbv in [33, 191].
+    Returns (dw0, s0, s1, s2, s3, s4) with s_i the contribution to word
+    2*dw0 + i (MSB-first stream order)."""
+    h, m, l = val3
+    d_start = d_cum - nbv
+    dw0 = (d_start >> 6).astype(jnp.int32)
+    r = (d_start & 63).astype(jnp.int32)
+    sh = 192 - r - nbv
+    k = sh >> 5  # in [1, 5]
+    b = sh & 31
+    # (h, m, l) << b over four limbs
+    bu = b.astype(jnp.uint32)
+    inv = jnp.clip(32 - b, 1, 31).astype(jnp.uint32)
+    nz = b > 0
+    z = jnp.uint32(0)
+    spill = lambda x: jnp.where(nz, x >> inv, z)
+    d3 = spill(h)
+    d2 = (h << bu) | spill(m)
+    d1 = (m << bu) | spill(l)
+    d0 = l << bu
+    # word 5-k gets limb 0 (low), upward: s_{5-k-j} = d_j
+    def pick(*cases):
+        # cases: list of (k value, limb) pairs; where-chain select
+        out = z
+        for kv, limb in cases:
+            out = jnp.where(k == kv, limb, out)
+        return out
+
+    s0 = pick((5, d0), (4, d1), (3, d2), (2, d3))
+    s1 = pick((4, d0), (3, d1), (2, d2), (1, d3))
+    s2 = pick((3, d0), (2, d1), (1, d2))
+    s3 = pick((2, d0), (1, d1))
+    s4 = pick((1, d0))
+    live = nbv > 0
+    msk = lambda x: jnp.where(live, x, z)
+    return dw0, msk(s0), msk(s1), msk(s2), msk(s3), msk(s4)
+
+
 def _split2d(d_cum, val, nbv):
     """Per-deposit first-DWORD index + four u32 word contributions: a
     <=64-bit value at any bit offset spans at most TWO 64-bit dwords

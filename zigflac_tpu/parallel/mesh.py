@@ -86,6 +86,8 @@ def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
     # slack mirrors pipeline._compiled_encode_compact: per-frame ALIGN_W
     # group round-up + headroom
     capb = int(raw_bytes * stream_ratio) + (4 * ALIGN_W + 32) * batch_local
+    if deposit == "windowed" and tier > 0:
+        deposit = "windowed_pair"  # mirrors pipeline: tier-1 forces pairs
     fn = partial(
         _encode_shard_compact,
         config=config,
