@@ -333,3 +333,52 @@ def test_cli_test_mode(rng, tmp_path, capsys):
     garbage = tmp_path / "garbage.flac"
     garbage.write_bytes(b"not a flac stream at all")
     assert main(["-t", str(garbage)]) == 2
+
+
+def test_cli_cuesheet_and_range(rng, tmp_path, capsys):
+    """--cuesheet imports a .cue file as a CUESHEET block (round-trips
+    through --list); --decode --range extracts a time slice via
+    decode_range that matches the full decode's samples."""
+    import io
+
+    from zigflac_tpu.cli import main
+    from zigflac_tpu.wav import WavReader, write_wav
+
+    rate = 44100
+    pcm = make_signal(rng, rate * 2 + 100, kind="mixed")
+    wav_path = tmp_path / "in.wav"
+    write_wav(str(wav_path), pcm, rate, 16)
+    cue = tmp_path / "album.cue"
+    cue.write_text(
+        "CATALOG 1234567890123\n"
+        "FILE \"in.wav\" WAVE\n"
+        "  TRACK 01 AUDIO\n"
+        "    INDEX 01 00:00:00\n"
+        "  TRACK 02 AUDIO\n"
+        "    INDEX 00 00:00:60\n"
+        "    INDEX 01 00:01:00\n"
+    )
+    flac_path = tmp_path / "out.flac"
+    rc = main([str(wav_path), str(flac_path), "--backend", "golden",
+               "--cuesheet", str(cue), "--seek-interval", "0.5"])
+    assert rc == 0
+    assert main(["--list", str(flac_path)]) == 0
+    out = capsys.readouterr().out
+    assert "CUESHEET" in out and "3 tracks, catalog 1234567890123" in out
+
+    # range decode: 0.5s..1.25s must equal the same slice of the input
+    part = tmp_path / "part.wav"
+    rc = main(["--decode", str(flac_path), str(part),
+               "--range", "0.5:1.25", "--backend", "golden"])
+    assert rc == 0
+    got = WavReader.from_file(str(part)).planar_samples()
+    lo, hi = int(0.5 * rate), int(0.5 * rate) + int(round(0.75 * rate))
+    np.testing.assert_array_equal(got, pcm[:, lo:hi])
+
+    # malformed range and malformed cue fail cleanly
+    assert main(["--decode", str(flac_path), str(part),
+                 "--range", "2:1"]) == 1
+    badcue = tmp_path / "bad.cue"
+    badcue.write_text("TRACK xx AUDIO\n")
+    assert main([str(wav_path), str(flac_path), "--backend", "golden",
+                 "--cuesheet", str(badcue)]) == 1

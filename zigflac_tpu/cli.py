@@ -95,6 +95,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="embed a front-cover PICTURE block (jpeg/png file)",
     )
     p.add_argument(
+        "--cuesheet", metavar="FILE.cue", default=None,
+        help="import a standard .cue sheet as a CUESHEET metadata block",
+    )
+    p.add_argument(
+        "--range", metavar="START:END", default=None, dest="time_range",
+        help="with --decode: decode only this time range (seconds), using "
+        "the SEEKTABLE to skip ahead when present",
+    )
+    p.add_argument(
         "--ogg", action="store_true",
         help="write Ogg-FLAC (.oga) instead of native FLAC (encode side; "
         "decode auto-detects the container). Implied by a .oga/.ogg "
@@ -108,6 +117,50 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _decode_range_main(args, backend: str) -> int:
+    """--decode --range START:END — random-access decode (decoder.
+    decode_range rides the SEEKTABLE + the native batch parser) of a time
+    slice, written as a standalone WAV."""
+    from .decoder import FlacDecodeError, decode_range, _parse_metadata
+    from .wav import write_wav
+    from .ogg import is_ogg, ogg_to_flac
+
+    try:
+        a, _, b = args.time_range.partition(":")
+        t0s, t1s = float(a), float(b)
+        if t1s <= t0s or t0s < 0:
+            raise ValueError
+    except ValueError:
+        print(f"error: --range expects START:END seconds, got "
+              f"{args.time_range!r}", file=sys.stderr)
+        return 1
+    try:
+        with open(args.input, "rb") as f:
+            data = f.read()
+        if is_ogg(data):
+            data = ogg_to_flac(data)
+        info, _v, _t, _s, _pos = _parse_metadata(data)
+        start = int(t0s * info.sample_rate)
+        n = min(
+            int(round((t1s - t0s) * info.sample_rate)),
+            info.interchannel_samples - start,
+        )
+        if n <= 0:
+            raise FlacDecodeError("range starts past the stream end")
+        samples = decode_range(data, start, n, backend=backend)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except (FlacDecodeError, EOFError, IndexError, ValueError) as e:
+        print(f"error: invalid FLAC stream ({e})", file=sys.stderr)
+        return 2
+    write_wav(args.output, samples.astype("int32"), info.sample_rate,
+              info.bit_depth)
+    print(f"decoded samples [{start}, {start + n}) "
+          f"({t0s:.3f}s..{t0s + n / info.sample_rate:.3f}s)")
+    return 0
+
+
 def _decode_main(args) -> int:
     """flac2wav: streaming decode + verify, write PCM WAV (decoder
     round-trip, BASELINE config 5 — the reference has no decoder at all).
@@ -117,6 +170,8 @@ def _decode_main(args) -> int:
     # the decoder's scalar reference path is named "host"; the shared
     # --backend flag calls it "golden" on the encode side
     backend = {"golden": "host"}.get(args.backend, args.backend)
+    if args.time_range is not None:
+        return _decode_range_main(args, backend)
     t0 = time.perf_counter()
     try:
         info = decode_file(
@@ -286,6 +341,10 @@ def _list_main(args) -> int:
                         p += 4
                         print(f"    {body[p : p + clen].decode('utf-8', 'replace')}")
                         p += clen
+                elif btype == 5 and len(body) >= 396:
+                    cat = body[:128].rstrip(b"\x00").decode("ascii", "replace")
+                    print(f"    {body[395]} tracks"
+                          + (f", catalog {cat}" if cat else ""))
                 elif btype == 6 and len(body) >= 32:
                     p = 4
                     mlen = int.from_bytes(body[p : p + 4], "big")
@@ -392,7 +451,7 @@ def main(argv=None) -> int:
             if args.seek_interval
             else None
         )
-        extra = None
+        extra = []
         if args.picture:
             from .metadata import picture_block
 
@@ -401,7 +460,22 @@ def main(argv=None) -> int:
             mime = (
                 "image/png" if img[:8] == b"\x89PNG\r\n\x1a\n" else "image/jpeg"
             )
-            extra = [picture_block(img, mime, is_last=False)]
+            extra.append(picture_block(img, mime, is_last=False))
+        if args.cuesheet:
+            from .metadata import parse_cue_sheet
+
+            with open(args.cuesheet, "r", encoding="utf-8",
+                      errors="replace") as cf:
+                cue_text = cf.read()
+            try:
+                extra.append(parse_cue_sheet(
+                    cue_text, wav.sample_rate,
+                    wav.samples_count,
+                ))
+            except ValueError as e:
+                print(f"error: bad cue sheet ({e})", file=sys.stderr)
+                return 1
+        extra = extra or None
         want_ogg = args.ogg or args.output.lower().endswith((".oga", ".ogg"))
         t0 = time.perf_counter()
         # ogg writes in the same single streaming pass (ogg.OggStreamSink:

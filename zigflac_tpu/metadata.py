@@ -223,6 +223,66 @@ def cuesheet_block(
     )
 
 
+def parse_cue_sheet(
+    text: str, sample_rate: int, total_samples: int
+) -> bytes:
+    """Parse a standard .cue sheet (CATALOG / TRACK nn AUDIO / INDEX nn
+    MM:SS:FF at 75 frames per second) into a CUESHEET metadata block —
+    the `flac --cuesheet` behavior. The lead-out track (170 on CD-DA) is
+    appended at the stream end; ``is_cd`` follows the CD-DA rate.
+    Raises ValueError on malformed sheets."""
+    catalog = ""
+    tracks: list = []  # mutable [offset, number, isrc, is_audio, points]
+    cur = None
+    for raw in text.splitlines():
+        parts = raw.strip().split()
+        if not parts:
+            continue
+        kw = parts[0].upper()
+        if kw == "CATALOG" and len(parts) > 1:
+            catalog = parts[1]
+        elif kw == "TRACK" and len(parts) >= 3:
+            try:
+                num = int(parts[1])
+            except ValueError:
+                raise ValueError(f"bad TRACK number: {raw.strip()!r}")
+            cur = [0, num, "", parts[2].upper() == "AUDIO", []]
+            tracks.append(cur)
+        elif kw == "ISRC" and cur is not None and len(parts) > 1:
+            cur[2] = parts[1]
+        elif kw == "INDEX" and len(parts) >= 3:
+            if cur is None:
+                raise ValueError("INDEX before any TRACK")
+            try:
+                pnum = int(parts[1])
+                mm, ss, ff = (int(x) for x in parts[2].split(":"))
+            except ValueError:
+                raise ValueError(f"bad INDEX line: {raw.strip()!r}")
+            if ss >= 60 or ff >= 75:
+                raise ValueError(f"bad INDEX timestamp: {parts[2]}")
+            off = (mm * 60 + ss) * sample_rate + ff * sample_rate // 75
+            if not cur[4]:
+                cur[0] = off  # track offset = first index point
+            if off < cur[0]:
+                raise ValueError("INDEX offsets must be non-decreasing")
+            cur[4].append((off - cur[0], pnum))
+    if not tracks:
+        raise ValueError("cue sheet has no TRACK entries")
+    is_cd = sample_rate == 44100
+    # track index points are relative to the track offset; fix pnum==0
+    # points that preceded their INDEX 01 (offset clamped above)
+    out_tracks = [
+        (t[0], t[1], t[2], t[3], t[4] or [(0, 1)]) for t in tracks
+    ]
+    out_tracks.append(
+        (total_samples, 170 if is_cd else 255, "", True, [])
+    )
+    return cuesheet_block(
+        catalog, 2 * sample_rate if is_cd else 0, is_cd, out_tracks,
+        is_last=False,
+    )
+
+
 def vorbis_comment_block(
     is_last: bool,
     vendor: bytes = VENDOR_STRING,
