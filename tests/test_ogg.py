@@ -198,6 +198,17 @@ def test_chained_ogg_streams(tmp_path):
     assert ogg.ogg_to_flac(chained) == flac_a
     assert ogg.ogg_to_flac(chained, serial=0x22222222) == flac_b
     assert ogg.ogg_to_flac_all(chained) == [flac_a, flac_b]
+
+    # chained links REUSING one serial (the default writer serial — plain
+    # concatenation of two .oga files): (serial, link) addressing
+    same = io.BytesIO()
+    ogg.flac_to_ogg(flac_a, same)
+    ogg.flac_to_ogg(flac_b, same)
+    blob = same.getvalue()
+    streams = ogg.flac_streams(blob)
+    assert [k for _s, k in streams] == [0, 1]
+    assert ogg.ogg_to_flac_all(blob) == [flac_a, flac_b]
+    assert ogg.ogg_to_flac(blob, serial=streams[1][0], link=1) == flac_b
     oga_path = tmp_path / "chain.oga"
     oga_path.write_bytes(chained)
     wav_out = tmp_path / "chain.wav"

@@ -289,13 +289,15 @@ def _list_main(args) -> int:
         data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         container = "FLAC"
         if bytes(data[:4]) == b"OggS":
-            from .ogg import flac_serials, ogg_to_flac
+            from .ogg import flac_streams, ogg_to_flac
 
-            serials = flac_serials(bytes(data))
             container = "Ogg-FLAC"
-            if len(serials) > 1:
-                container += f" ({len(serials)} logical streams; first shown)"
             try:
+                streams = flac_streams(bytes(data))
+                if len(streams) > 1:
+                    container += (
+                        f" ({len(streams)} logical streams; first shown)"
+                    )
                 data = ogg_to_flac(bytes(data))
             except ValueError as e:
                 print(f"error: invalid stream ({e})", file=sys.stderr)
@@ -326,21 +328,12 @@ def _list_main(args) -> int:
                 elif btype == 3:
                     print(f"    {len(body) // 18} seek points")
                 elif btype == 4:
-                    vlen = int.from_bytes(body[0:4], "little")
-                    print(f"    vendor: "
-                          f"{body[4 : 4 + vlen].decode('utf-8', 'replace')}")
-                    p = 4 + vlen
-                    ntags = int.from_bytes(body[p : p + 4], "little")
-                    p += 4
-                    # claimed counts can lie; bound by the real body
-                    for _ in range(ntags):
-                        if p + 4 > len(body):
-                            print("    (truncated VorbisComment)")
-                            break
-                        clen = int.from_bytes(body[p : p + 4], "little")
-                        p += 4
-                        print(f"    {body[p : p + clen].decode('utf-8', 'replace')}")
-                        p += clen
+                    from .decoder import parse_vorbis_body
+
+                    vendor, comments = parse_vorbis_body(body)
+                    print(f"    vendor: {vendor.decode('utf-8', 'replace')}")
+                    for c in comments:
+                        print(f"    {c}")
                 elif btype == 5 and len(body) >= 396:
                     cat = body[:128].rstrip(b"\x00").decode("ascii", "replace")
                     print(f"    {body[395]} tracks"

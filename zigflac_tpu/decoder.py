@@ -59,6 +59,29 @@ class DecodedStream:
     seektable: Optional[list] = None
 
 
+def parse_vorbis_body(body: bytes):
+    """VorbisComment block body -> (vendor bytes, comment strings).
+
+    Loops are bounded by the REAL body, never the claimed tag count: a
+    corrupted count (up to 2^32) over an exhausted body would otherwise
+    spin ~forever on zero-length reads (found by tools/fuzz_decode.py).
+    Shared by the metadata parser and the CLI --list printer."""
+    vlen = int.from_bytes(body[0:4], "little")
+    vendor = body[4 : 4 + vlen]
+    p = 4 + vlen
+    ntags = int.from_bytes(body[p : p + 4], "little")
+    p += 4
+    comments = []
+    for _ in range(ntags):
+        if p + 4 > len(body):
+            raise FlacDecodeError("truncated VorbisComment block")
+        clen = int.from_bytes(body[p : p + 4], "little")
+        p += 4
+        comments.append(body[p : p + clen].decode("utf-8", "replace"))
+        p += clen
+    return vendor, comments
+
+
 def _parse_metadata(data: bytes):
     if data[:4] != b"fLaC":
         raise FlacDecodeError("bad signature")
@@ -105,23 +128,10 @@ def _parse_metadata(data: bytes):
                     int.from_bytes(body[p + 16 : p + 18], "big"),
                 ))
         elif btype == 4:  # VorbisComment
-            vlen = int.from_bytes(body[0:4], "little")
-            vendor = body[4 : 4 + vlen]
-            p = 4 + vlen
-            ntags = int.from_bytes(body[p : p + 4], "little")
-            p += 4
-            # bound the loop by the REAL body, not the claimed count: a
-            # corrupted ntags (up to 2^32) over an exhausted body spins
-            # ~forever on zero-length reads (found by tools/fuzz_decode.py)
-            for _ in range(ntags):
-                if p + 4 > len(body):
-                    raise FlacDecodeError("truncated VorbisComment block")
-                clen = int.from_bytes(body[p : p + 4], "little")
-                p += 4
-                comment = body[p : p + clen].decode("utf-8", "replace")
-                p += clen
-                if "=" in comment:
-                    tags.append(tuple(comment.split("=", 1)))
+            vendor, comments = parse_vorbis_body(body)
+            tags.extend(
+                tuple(c.split("=", 1)) for c in comments if "=" in c
+            )
         if is_last:
             break
     if info is None:
@@ -146,7 +156,10 @@ def metadata_blocks(data):
     while True:
         hdr = data[pos]
         length = int.from_bytes(data[pos + 1 : pos + 4], "big")
-        yield hdr & 0x7F, bytes(data[pos + 4 : pos + 4 + length])
+        body = bytes(data[pos + 4 : pos + 4 + length])
+        if len(body) < length:
+            raise FlacDecodeError("truncated metadata block")
+        yield hdr & 0x7F, body
         pos += 4 + length
         if hdr & 0x80:
             break
@@ -534,13 +547,18 @@ def decode_file(
             md5 = _native.Md5Stream() if verify else None
             total = 0
             nb = (info.bit_depth + 7) // 8
-            with open(output_path, "wb") as out:
-                out.write(
-                    wav_header_bytes(
-                        info.interchannel_samples, info.channels,
-                        info.sample_rate, info.bit_depth,
-                    )
+            try:
+                # raises ValueError when a (possibly corrupt) STREAMINFO
+                # claims more PCM than RIFF's u32 sizes can carry — keep
+                # the CLI's typed-error contract (exit 2, no traceback)
+                wav_hdr = wav_header_bytes(
+                    info.interchannel_samples, info.channels,
+                    info.sample_rate, info.bit_depth,
                 )
+            except ValueError as e:
+                raise FlacDecodeError(str(e)) from e
+            with open(output_path, "wb") as out:
+                out.write(wav_hdr)
                 while total < info.interchannel_samples and pos < len(mm):
                     if fused:
                         # single native pass: parse + synthesis + container

@@ -246,6 +246,8 @@ def parse_cue_sheet(
                 num = int(parts[1])
             except ValueError:
                 raise ValueError(f"bad TRACK number: {raw.strip()!r}")
+            if not 0 <= num <= 255:
+                raise ValueError(f"TRACK number out of range: {num}")
             cur = [0, num, "", parts[2].upper() == "AUDIO", []]
             tracks.append(cur)
         elif kw == "ISRC" and cur is not None and len(parts) > 1:
@@ -258,7 +260,9 @@ def parse_cue_sheet(
                 mm, ss, ff = (int(x) for x in parts[2].split(":"))
             except ValueError:
                 raise ValueError(f"bad INDEX line: {raw.strip()!r}")
-            if ss >= 60 or ff >= 75:
+            if not 0 <= pnum <= 255:
+                raise ValueError(f"INDEX number out of range: {pnum}")
+            if mm < 0 or not 0 <= ss < 60 or not 0 <= ff < 75:
                 raise ValueError(f"bad INDEX timestamp: {parts[2]}")
             off = (mm * 60 + ss) * sample_rate + ff * sample_rate // 75
             if not cur[4]:
@@ -269,8 +273,8 @@ def parse_cue_sheet(
     if not tracks:
         raise ValueError("cue sheet has no TRACK entries")
     is_cd = sample_rate == 44100
-    # track index points are relative to the track offset; fix pnum==0
-    # points that preceded their INDEX 01 (offset clamped above)
+    # index points are stored relative to the track offset (= the first
+    # index point's absolute offset; decreasing offsets already raised)
     out_tracks = [
         (t[0], t[1], t[2], t[3], t[4] or [(0, 1)]) for t in tracks
     ]

@@ -261,9 +261,20 @@ class OggPageReader:
                 out.append((serial, bytes(body[:16])))
         return out
 
-    def packets(self, serial: int | None = None, bos_prefix: bytes = b""):
+    def packets(
+        self,
+        serial: int | None = None,
+        bos_prefix: bytes = b"",
+        link: int = 0,
+    ):
+        """Packets of ONE logical stream. ``link`` selects among chained
+        links that reuse the same serial number (0 = first): a legal RFC
+        3533 chain of two files written by this package's own writer uses
+        the default serial twice, so (serial, link) — not serial alone —
+        identifies a stream."""
         partial = b""
         ended = False
+        cur_link = -1  # chain-link index of the current pages of our serial
         for htype, granule, pserial, segs, body in self.pages():
             if serial is None:
                 # lock onto the first stream in the file — or, with a
@@ -277,8 +288,15 @@ class OggPageReader:
             if pserial != serial:
                 continue
             if ended:
-                # chained link reusing the serial: a fresh BOS after our EOS
                 break
+            if htype & 0x02:
+                cur_link += 1
+            elif cur_link < 0:
+                cur_link = 0  # malformed: data before any BOS = link 0
+            if cur_link < link:
+                continue
+            if cur_link > link:
+                break  # malformed: next link began without our EOS
             if not (htype & 0x01) and partial:
                 raise ValueError("lost packet continuation")
             boff = 0
@@ -294,31 +312,53 @@ class OggPageReader:
             raise ValueError("stream ends mid-packet")
 
 
+def flac_streams(data: bytes, verify_crc: bool = True) -> list:
+    """``(serial, link)`` of every FLAC logical stream in the container,
+    in file order. ``link`` counts chained links that REUSE a serial (this
+    package's own writer always uses the default serial, so two
+    concatenated .oga files are (S, 0) and (S, 1))."""
+    r = OggPageReader(data, verify_crc=verify_crc)
+    seen: dict = {}
+    out = []
+    for s, head in r.logical_streams():
+        if head[:5] == b"\x7fFLAC":
+            out.append((s, seen.get(s, 0)))
+            seen[s] = seen.get(s, 0) + 1
+    return out
+
+
 def flac_serials(data: bytes, verify_crc: bool = True) -> list:
     """Serial numbers of every FLAC logical stream in the container
-    (multiplexed streams and chained links alike), in file order."""
-    r = OggPageReader(data, verify_crc=verify_crc)
-    return [s for s, head in r.logical_streams() if head[:5] == b"\x7fFLAC"]
+    (multiplexed streams and chained links alike), in file order; repeats
+    when chained links reuse a serial (see flac_streams)."""
+    return [s for s, _link in flac_streams(data, verify_crc=verify_crc)]
 
 
 def ogg_to_flac_all(data: bytes, verify_crc: bool = True) -> list:
     """Every FLAC logical stream of a (possibly chained/multiplexed) Ogg
-    container as native FLAC byte streams, in file order."""
+    container as native FLAC byte streams, in file order — including
+    chained links that reuse one serial number. (Each stream re-walks the
+    container's pages: O(k·n) for k streams — chains are short in
+    practice.)"""
     return [
-        ogg_to_flac(data, verify_crc=verify_crc, serial=s)
-        for s in flac_serials(data, verify_crc=verify_crc)
+        ogg_to_flac(data, verify_crc=verify_crc, serial=s, link=k)
+        for s, k in flac_streams(data, verify_crc=verify_crc)
     ]
 
 
 def ogg_to_flac(
-    data: bytes, verify_crc: bool = True, serial: int | None = None
+    data: bytes,
+    verify_crc: bool = True,
+    serial: int | None = None,
+    link: int = 0,
 ) -> bytes:
     """Transmux Ogg-FLAC back to a native FLAC stream (page CRCs checked).
     The metadata chain's last-block flags are rebuilt. ``serial`` selects a
-    logical stream of a multiplexed/chained container; by default the first
-    FLAC stream in the file is taken (other codecs' streams are skipped)."""
+    logical stream of a multiplexed/chained container (by default the first
+    FLAC stream in the file; other codecs' streams are skipped); ``link``
+    selects among chained links that reuse that serial."""
     it = OggPageReader(data, verify_crc=verify_crc).packets(
-        serial, bos_prefix=b"\x7fFLAC" if serial is None else b""
+        serial, bos_prefix=b"\x7fFLAC" if serial is None else b"", link=link
     )
     first_g = next(it, None)
     if first_g is None:
