@@ -97,35 +97,23 @@ def main() -> None:
         dev_s = min(dev_s, (time.perf_counter() - t0) / N)
     device_x = batch.shape[0] * 4096 / 44100 / dev_s
 
-    # LPC-mode device-only throughput: the double-buffered two-program
-    # pipeline (integer lag sums -> host Levinson -> main encode) sustained
-    # over N iterations, fetching only batch k-1's small lag block while
-    # batch k's programs run — mirrors DevicePipeline's deferred dispatch.
-    from zigflac_tpu.models.pipeline import DevicePipeline, _compiled_lpc_lags
-
+    # LPC-mode device-only throughput: since the Q28 integer Levinson
+    # moved INSIDE the encode program (no lag fetch, no host pre-pass, no
+    # coefficient upload), LPC is just another single-program measurement.
     from dataclasses import replace as _replace
 
     lpc_cfg = _replace(EncoderConfig.default(2), prediction="lpc")
-    lpc_pipe = DevicePipeline(lpc_cfg, 16)
-    lag_fn = _compiled_lpc_lags(lpc_cfg, 16, 2, 4096)
     lfn, _lcap = _compiled_encode_compact(
         lpc_cfg, 16, 2, 4096, 44100, 0, batch.shape[0]
     )
-
-    def lpc_once(prev_lags):
-        lags = lag_fn(batch)
-        pre = lpc_pipe._lpc_pre_from_lags(np_.asarray(prev_lags))
-        pre_j = tuple(jnp.asarray(x) for x in pre)
-        return lfn(batch, fns, *pre_j), lags
-
-    prev = lag_fn(batch)
-    out_l, prev = lpc_once(prev)  # warmup/compile
+    out_l = lfn(batch, fns)  # warmup/compile
     jax.block_until_ready(out_l)
+    np_.asarray(out_l[1])
     lpc_s = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         for _i in range(N):
-            out_l, prev = lpc_once(prev)
+            out_l = lfn(batch, fns)
         np_.asarray(out_l[1])
         lpc_s = min(lpc_s, (time.perf_counter() - t0) / N)
     lpc_x = batch.shape[0] * 4096 / 44100 / lpc_s

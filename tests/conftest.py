@@ -101,7 +101,6 @@ def _clear_compiled_programs():
 
     pipeline._compiled_encode_batch.cache_clear()
     pipeline._compiled_encode_compact.cache_clear()
-    pipeline._compiled_lpc_lags.cache_clear()
     mesh._sharded_compact_fn.cache_clear()
     synth._compiled_synth.cache_clear()
     synth._compiled_recombine.cache_clear()

@@ -94,17 +94,56 @@ def test_lag_sums_jnp_equals_numpy(rng):
         np.testing.assert_array_equal(a, b)
 
 
-def test_coeffs_from_lags_shapes_and_silence(rng):
+def test_fixed_levinson_shapes_and_silence(rng):
     from zigflac_tpu.ops.lpc import (
-        coeffs_from_lags,
+        fixed_point_levinson,
         lag_sums_np,
         lpc_candidate_orders,
     )
 
     orders = lpc_candidate_orders(8)
-    planes = np.zeros((3, 256), np.int32)  # silence: must not NaN/crash
-    out = coeffs_from_lags(lag_sums_np(planes, 8), orders, 15)
+    planes = np.zeros((3, 256), np.int32)  # silence: must not crash
+    out = fixed_point_levinson(lag_sums_np(planes, 8), orders, 15, np)
     assert [o for o, *_ in out] == list(orders)
     for o, qc, sh, ok in out:
-        assert qc.shape == (3, 32) and not np.isnan(sh).any()
+        assert qc.shape == (3, 32)
         assert (qc[:, o:] == 0).all()
+        assert not ok.any()  # silence disqualifies the LPC candidate
+
+
+def test_fixed_levinson_device_equals_numpy(rng):
+    """The Q28 integer Levinson must be BIT-IDENTICAL between its numpy
+    run (golden) and its jitted XLA run (device program) — the whole
+    determinism argument for in-program LPC."""
+    import jax
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.lpc import (
+        fixed_point_levinson,
+        lag_sums_np,
+        lpc_candidate_orders,
+        tukey_q15,
+    )
+
+    orders = lpc_candidate_orders(12)
+    t = np.arange(4096)
+    sig = np.stack([
+        np.clip(9000 * np.sin(2 * np.pi * 441.3 * t / 44100)
+                + rng.normal(0, 37, t.size), -32768, 32767),
+        np.clip(rng.normal(0, 12000, t.size), -32768, 32767),
+        np.clip(1e6 * np.sin(2 * np.pi * 97 * t / 44100), -(2 ** 31), 2 ** 31 - 1),
+        np.zeros(t.size),
+    ]).astype(np.int64)
+    lags = lag_sums_np(sig, 12)
+    ref = fixed_point_levinson(lags, orders, 14, np)
+
+    @jax.jit
+    def dev(lg):
+        outs = fixed_point_levinson(lg, orders, 14, jnp)
+        return [(q, s, k) for _o, q, s, k in outs]
+
+    got = dev(jnp.asarray(lags))
+    for (o, qr, sr, kr), (qd, sd, kd) in zip(ref, got):
+        np.testing.assert_array_equal(qr, np.asarray(qd)), o
+        np.testing.assert_array_equal(sr, np.asarray(sd))
+        np.testing.assert_array_equal(kr, np.asarray(kd))

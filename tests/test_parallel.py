@@ -97,9 +97,9 @@ def test_sharded_overflow_stays_sharded(rng, mesh):
     calls = []
     real_overflow = pl.DevicePipeline._encode_overflow
 
-    def spy(self, chunk, nreal, fns, c, Bv, info, pre_j=()):
+    def spy(self, chunk, nreal, fns, c, Bv, info):
         calls.append(chunk.shape[0])
-        return real_overflow(self, chunk, nreal, fns, c, Bv, info, pre_j)
+        return real_overflow(self, chunk, nreal, fns, c, Bv, info)
 
     pipe = pl.DevicePipeline(cfg, 16)
     assert pipe._mesh is not None

@@ -269,11 +269,12 @@ def choose_subframe(
     best = SubframeChoice("fixed", fixed_bits, order or 0, rice_cfg, residuals)
 
     if config.prediction == "lpc":
-        # Extension (the reference stubs LPC): the coefficient math shares
-        # ONE host implementation with the device pipeline — exact integer
-        # lag sums + host float Levinson/quantize (ops/lpc.py) — so both
-        # backends decide identically on any platform. The candidate loop
-        # mirrors the device's first-strictly-smaller rule.
+        # Extension (the reference stubs LPC): the whole coefficient
+        # derivation is pure integer math (exact lag sums + the Q28
+        # fixed-point Levinson, ops/lpc.py) — numpy here, the SAME integer
+        # ops inside the device program — so both backends decide
+        # identically on any platform. The candidate loop mirrors the
+        # device's first-strictly-smaller rule.
         from .ops.lpc import analyze_lpc_multi_np
 
         for o, l_res, l_q, l_shift, l_ok in analyze_lpc_multi_np(

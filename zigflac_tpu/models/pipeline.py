@@ -28,7 +28,7 @@ import numpy as np
 
 from ..metadata import StreamInfo
 from ..utils.config import EncoderConfig
-from ..ops.analyze import plan_frames, plan_lag_sums
+from ..ops.analyze import plan_frames
 from ..ops.bitpack import (
     compact_stream_aligned,
     deposit_crc16,
@@ -146,9 +146,6 @@ class DevicePipeline:
         self.bit_depth = bit_depth
         self.batch_size = batch_size
         self._mesh = _product_mesh()  # None = single device
-        # LPC double-buffering: batches whose lag program is in flight but
-        # whose main program has not been dispatched yet (see dispatch_batch)
-        self._lpc_deferred: List[dict] = []
 
     def _encode_batch_fn(self, n: int, c: int, block_size: int, sample_rate: int):
         """Words-path program (tests, mesh parity, capacity fallback)."""
@@ -216,36 +213,16 @@ class DevicePipeline:
 
     # -- dispatch/collect primitives (streaming feeder builds on these) -----
 
-    def _lpc_pre_from_lags(self, lags: np.ndarray):
-        """LPC phase 2: host float Levinson + quantization over fetched
-        integer lag sums (the only float math, one shared IEEE-deterministic
-        implementation — ops/lpc.py). Returns the (qc [n, P, K, lpc_order]
-        i16, shift [n, P, K] i8, ok bool) main-program inputs — the
-        narrowest lossless wire types (|qcoeff| < 2^14 at precision <= 15,
-        shift in [0, 15]): the qcoeffs upload is the LPC mode's largest
-        h2d block, and the traced program upcasts + zero-pads back to the
-        i32 [..., 32] layout analyze_planes consumes (_lpc_pre_list)."""
-        from ..ops.lpc import coeffs_from_lags, lpc_candidate_orders
-
-        orders = lpc_candidate_orders(self.config.lpc_order)
-        pre = coeffs_from_lags(lags, orders, self.config.lpc_precision)
-        qc = np.stack([p[1] for p in pre], axis=2)
-        qc = qc[..., : self.config.lpc_order].astype(np.int16)
-        sh = np.stack([p[2] for p in pre], axis=2).astype(np.int8)
-        ok = np.stack([p[3] for p in pre], axis=2)
-        return qc, sh, ok
-
     def dispatch_batch(self, chunk: np.ndarray, fns: np.ndarray, info) -> dict:
         """Asynchronously dispatch one batch of full frames ``[n<=bs, C, B]``
         to the device (tier-0 capacity). Returns an opaque pending handle for
         ``collect_batch``; compute overlaps anything the host does next.
 
-        LPC mode is double-buffered: the batch's integer lag-sum program is
-        dispatched immediately (async), but the lag fetch + host Levinson +
-        main-program dispatch are DEFERRED until the next ``dispatch_batch``
-        (or this batch's collect) — by then the lag program has computed in
-        the background, so no dispatch ever blocks on a synchronous device
-        round trip (the ~30-50 ms relay sync the fixed path never pays)."""
+        LPC mode runs inside the same single program as everything else —
+        the Q28 integer Levinson (ops/lpc.fixed_point_levinson) derives
+        coefficients on device from in-program lag sums, so there is no
+        lag fetch, no host pre-pass, and no coefficient upload (the
+        round-3 flow double-buffered a ~40 ms/batch relay round trip)."""
         nreal, c, B = chunk.shape
         ndev = self._mesh.devices.size if self._mesh is not None else 1
         bucket = min(self.batch_size, _next_pow2(nreal))
@@ -257,69 +234,41 @@ class DevicePipeline:
             fns = np.concatenate([fns, np.repeat(fns[-1:], bucket - nreal)])
         rec = {"chunk": chunk, "nreal": nreal, "fns": fns, "B": B,
                "rate": info.sample_rate}
-        if self.config.prediction == "lpc":
-            lag_fn = _compiled_lpc_lags(self.config, self.bit_depth, c, B)
-            rec["lags"] = lag_fn(jnp.asarray(self._feed(chunk)))
-            self._lpc_deferred.append(rec)
-            while len(self._lpc_deferred) > 1:
-                self._dispatch_main(self._lpc_deferred.pop(0))
-        else:
-            self._dispatch_main(rec)
+        self._dispatch_main(rec)
         return rec
 
     def _dispatch_main(self, rec: dict) -> None:
-        """Phase 2 of a dispatch: finish any LPC host pre-pass and launch the
-        main encode program. Idempotent via the ``out`` key."""
+        """Launch the main encode program for a prepared batch record."""
         chunk = rec["chunk"]
         _, c, B = chunk.shape
-        pre_j = ()
-        if "lags" in rec:
-            pre = self._lpc_pre_from_lags(np.asarray(rec.pop("lags")))
-            pre_j = tuple(jnp.asarray(x) for x in pre)
         if self._mesh is not None:
             from ..parallel.mesh import encode_compact_sharded
 
             stream, meta, frame_cap = encode_compact_sharded(
                 jnp.asarray(self._feed(chunk)), jnp.asarray(rec["fns"]),
                 self.config, self.bit_depth, rec["rate"], 0,
-                _default_deposit(), self._mesh, lpc_pre=pre_j,
+                _default_deposit(), self._mesh,
             )
             out = (stream, meta)
         else:
             fn, frame_cap = self._compact_fn(c, B, rec["rate"], 0,
                                              chunk.shape[0])
-            out = fn(
-                jnp.asarray(self._feed(chunk)), jnp.asarray(rec["fns"]),
-                *pre_j,
-            )
+            out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(rec["fns"]))
         rec["out"] = out
         rec["frame_cap"] = frame_cap
-        rec["pre_j"] = pre_j
 
     def dispatch_tail(self, tail: np.ndarray, frame_number: int, info) -> dict:
         """Dispatch a ragged final frame ``[C, rem]`` at its exact block size
-        (batch 1); numbered ``frame_number``. Flushes any deferred LPC main
-        dispatches first (tails always follow the full batches)."""
-        while self._lpc_deferred:
-            self._dispatch_main(self._lpc_deferred.pop(0))
+        (batch 1); numbered ``frame_number``."""
         rem = tail.shape[1]
         c = tail.shape[0]
         tchunk = tail[None, ...]
         tfns = np.array([frame_number], np.int64)
         rec = {"chunk": tchunk, "nreal": 1, "fns": tfns, "B": rem,
                "rate": info.sample_rate}
-        pre_j = ()
-        if self.config.prediction == "lpc":
-            lag_fn = _compiled_lpc_lags(self.config, self.bit_depth, c, rem)
-            lags = np.asarray(lag_fn(jnp.asarray(self._feed(tchunk))))
-            pre_j = tuple(
-                jnp.asarray(x) for x in self._lpc_pre_from_lags(lags)
-            )
         fn, frame_cap = self._compact_fn(c, rem, info.sample_rate, 0, 1)
-        rec["out"] = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns),
-                        *pre_j)
+        rec["out"] = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns))
         rec["frame_cap"] = frame_cap
-        rec["pre_j"] = pre_j
         return rec
 
     def collect_batch(self, pending: dict, info) -> Tuple[bytes, np.ndarray]:
@@ -330,12 +279,6 @@ class DevicePipeline:
         shards re-encode through the ladder — the rest of the mesh's
         results stand (pathological content on one chip does not de-shard
         the batch)."""
-        if "out" not in pending:  # deferred LPC main dispatch (newest batch)
-            # identity-based removal: dict == on array values is ambiguous
-            self._lpc_deferred = [
-                r for r in self._lpc_deferred if r is not pending
-            ]
-            self._dispatch_main(pending)
         stream, meta = pending["out"]
         nreal = pending["nreal"]
         frame_cap = pending["frame_cap"]
@@ -345,7 +288,6 @@ class DevicePipeline:
                 got = self._encode_overflow(
                     pending["chunk"], nreal, pending["fns"],
                     pending["chunk"].shape[1], pending["B"], info,
-                    pending["pre_j"],
                 )
             return got
         # sharded: meta rows are [sizes..., total_words, ovf_local, ovf_any]
@@ -363,28 +305,25 @@ class DevicePipeline:
                 lo = s * per_shard
                 rows = pending["chunk"][lo : lo + per_shard]
                 fns = pending["fns"][lo : lo + per_shard]
-                pre_j = tuple(
-                    x[lo : lo + per_shard] for x in pending["pre_j"]
-                )
                 got = self._encode_overflow(
                     rows, local_real, fns, rows.shape[1], pending["B"],
-                    info, pre_j,
+                    info,
                 )
             parts.append(got[0])
             szs.append(got[1])
         return b"".join(parts), np.concatenate(szs)
 
-    def _encode_overflow(self, chunk, nreal, fns, c, B, info, pre_j=()):
+    def _encode_overflow(self, chunk, nreal, fns, c, B, info):
         """Capacity-ladder fallback for batches that out-size tier 0."""
         fn1, frame_cap = self._compact_fn(c, B, info.sample_rate, 1, chunk.shape[0])
-        out = fn1(jnp.asarray(self._feed(chunk)), jnp.asarray(fns), *pre_j)
+        out = fn1(jnp.asarray(self._feed(chunk)), jnp.asarray(fns))
         got = _collect_aligned(out, nreal, frame_cap)
         if got is not None:
             return got
         # exact worst-case: padded words path
         fnw = self._encode_batch_fn(chunk.shape[0], c, B, info.sample_rate)
         words, total_bits, crcs = fnw(
-            jnp.asarray(chunk.astype(np.int32)), jnp.asarray(fns), *pre_j
+            jnp.asarray(chunk.astype(np.int32)), jnp.asarray(fns)
         )
         words = np.asarray(words)[:nreal]
         byte_len = (np.asarray(total_bits)[:nreal] + 7) // 8
@@ -471,45 +410,9 @@ def _compiled_encode_compact(
     )
 
 
-@lru_cache(maxsize=32)
-def _compiled_lpc_lags(config: EncoderConfig, depth: int, c: int, block_size: int):
-    """LPC phase-1 program: exact integer autocorrelation limb sums for the
-    candidate planes (ops/analyze.plan_lag_sums). Integer-only, so the
-    result is bit-identical on any backend."""
-    return jax.jit(
-        lambda frames: plan_lag_sums(frames.astype(jnp.int32), depth, config)
-    )
-
-
-def _lpc_pre_list(config: EncoderConfig, lpc_qc, lpc_sh, lpc_ok):
-    """Rebuild the per-candidate-order list analyze_planes consumes from the
-    flat (qc [n, P, K, lpc_order] i16, shift [n, P, K] i8, ok [n, P, K])
-    program inputs: upcast to i32 and zero-pad the coefficient axis back to
-    32 inside the traced program (device-side, free) so the h2d block stays
-    at the narrow wire layout _lpc_pre_from_lags ships."""
-    if lpc_qc is None:
-        return None
-    from ..ops.lpc import lpc_candidate_orders
-
-    qc = lpc_qc.astype(jnp.int32)
-    if qc.shape[-1] < 32:
-        qc = jnp.pad(
-            qc, [(0, 0)] * (qc.ndim - 1) + [(0, 32 - qc.shape[-1])]
-        )
-    sh = lpc_sh.astype(jnp.int32)
-    orders = lpc_candidate_orders(config.lpc_order)
-    return [
-        (o, qc[:, :, k], sh[:, :, k], lpc_ok[:, :, k])
-        for k, o in enumerate(orders)
-    ]
-
-
 def _encode_batch(
     frames: jnp.ndarray,
     frame_numbers: jnp.ndarray,
-    lpc_qc=None,
-    lpc_sh=None,
-    lpc_ok=None,
     *,
     config: EncoderConfig,
     depth: int,
@@ -518,10 +421,7 @@ def _encode_batch(
     max_words: int,
 ):
     frames = frames.astype(jnp.int32)
-    plan = plan_frames(
-        frames, depth, config,
-        lpc_pre=_lpc_pre_list(config, lpc_qc, lpc_sh, lpc_ok),
-    )
+    plan = plan_frames(frames, depth, config)
     words, total_bits, _ovf = pack_frames(
         plan, frame_numbers, hstatic, block_size, config.max_rice_order,
         max_words,
@@ -537,9 +437,6 @@ def _encode_batch(
 def _encode_batch_compact(
     frames: jnp.ndarray,
     frame_numbers: jnp.ndarray,
-    lpc_qc=None,
-    lpc_sh=None,
-    lpc_ok=None,
     *,
     config: EncoderConfig,
     depth: int,
@@ -551,11 +448,7 @@ def _encode_batch_compact(
     speculate: bool = False,
 ):
     frames = frames.astype(jnp.int32)
-    plan = plan_frames(
-        frames, depth, config,
-        lpc_pre=_lpc_pre_list(config, lpc_qc, lpc_sh, lpc_ok),
-        speculate=speculate,
-    )
+    plan = plan_frames(frames, depth, config, speculate=speculate)
     words, total_bits, overflow = pack_frames(
         plan, frame_numbers, hstatic, block_size, config.max_rice_order,
         max_words,

@@ -383,7 +383,6 @@ def analyze_planes(
     sample_size: int,
     block_size: int,
     config: EncoderConfig,
-    lpc_pre=None,
     speculate: bool = False,
 ) -> PlaneAnalysis:
     """Full per-plane subframe decision (libFLAC/Encoder.zig:320-376).
@@ -407,13 +406,9 @@ def analyze_planes(
         m = int(np.prod(batch_shape))
         nb = len(batch_shape)
         flat = lambda x: x.reshape((m,) + x.shape[nb:])
-        if lpc_pre is not None:
-            lpc_pre = [
-                (o, flat(q), flat(s), flat(k)) for o, q, s, k in lpc_pre
-            ]
         a = analyze_planes(
             flat(planes), bits_of_t, sample_size, block_size, config,
-            lpc_pre=lpc_pre, speculate=speculate,
+            speculate=speculate,
         )
         return PlaneAnalysis(
             *[v if v.ndim == 0 else v.reshape(batch_shape + v.shape[1:])
@@ -471,14 +466,24 @@ def analyze_planes(
     if config.prediction == "lpc":
         # extension: LPC candidates at several orders compete with the best
         # fixed predictor on estimated bits + coefficient overhead; first
-        # strictly-smaller cost wins. Coefficients arrive precomputed from
-        # the deterministic host stage (ops/lpc.py coeffs_from_lags, fed by
-        # the device integer lag sums) — only the integer residual
-        # computation runs here.
-        from .lpc import lpc_residuals
+        # strictly-smaller cost wins. The WHOLE derivation is in-program
+        # integer math — exact windowed autocorrelation limb sums
+        # (ops/lpc.lag_sums) through the Q28 fixed-point Levinson +
+        # quantization (fixed_point_levinson) — bit-identical to the
+        # golden oracle's numpy run of the same integer ops, with no host
+        # round trip (the round-3 float flow fetched lag sums and
+        # uploaded coefficients: ~40 ms/batch of relay transfer).
+        from .lpc import (
+            fixed_point_levinson,
+            lag_sums,
+            lpc_candidate_orders,
+            lpc_residuals,
+        )
 
-        assert lpc_pre is not None, (
-            "LPC prediction needs precomputed coefficients (lpc_pre)"
+        lags = lag_sums(planes, config.lpc_order)
+        lpc_pre = fixed_point_levinson(
+            lags, lpc_candidate_orders(config.lpc_order),
+            config.lpc_precision, jnp,
         )
         use_lpc = jnp.zeros(batch_shape, bool)
         for o, l_q, l_shift, l_okq in lpc_pre:
@@ -558,30 +563,15 @@ class FrameWirePlan(NamedTuple):
     sweep_unsafe: jnp.ndarray   # bool scalar (see PlaneAnalysis)
 
 
-def _pre_plane_major(lpc_pre):
-    """Transpose each (order, qc [n, P, 32], shift [n, P], ok [n, P]) entry
-    to plane-major ([P, n, ...]) for the plane-major analysis. The arrays
-    are tiny (no [.., B] axis), so the transposes are free."""
-    if lpc_pre is None:
-        return None
-    return [
-        (o, jnp.moveaxis(q, 1, 0), jnp.moveaxis(s, 1, 0), jnp.moveaxis(k, 1, 0))
-        for o, q, s, k in lpc_pre
-    ]
-
-
 def plan_frames_indep(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None,
+    frames: jnp.ndarray, depth: int, config: EncoderConfig,
     speculate: bool = False,
 ) -> FrameWirePlan:
     """Independent channels: each analyzed and written as-is
     (libFLAC/Encoder.zig:242-247)."""
     n, c, B = frames.shape
     pm = jnp.moveaxis(frames, 1, 0)  # [c, n, B] plane-major
-    a = analyze_planes(
-        pm, 32, depth, B, config, lpc_pre=_pre_plane_major(lpc_pre),
-        speculate=speculate,
-    )
+    a = analyze_planes(pm, 32, depth, B, config, speculate=speculate)
     planes_w = pm >> a.wasted[..., None]
     return FrameWirePlan(
         channels_code=jnp.full((n,), c - 1, jnp.int32),
@@ -600,16 +590,8 @@ def plan_frames_indep(
     )
 
 
-def _slice_pre(lpc_pre, sl):
-    """Slice each plane-major (order, qc, shift, ok) entry's plane axis
-    (axis 0)."""
-    if lpc_pre is None:
-        return None
-    return [(o, q[sl], s[sl], k[sl]) for o, q, s, k in lpc_pre]
-
-
 def plan_frames_stereo(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None,
+    frames: jnp.ndarray, depth: int, config: EncoderConfig,
     speculate: bool = False,
 ) -> FrameWirePlan:
     """stereo_auto: build L/R/M/S planes, analyze all four, pick the mode
@@ -623,17 +605,12 @@ def plan_frames_stereo(
     r64 = right.astype(jnp.int64)
     mid = ((l64 + r64) >> 1).astype(jnp.int32)
     side64 = l64 - r64
-    pre_pm = _pre_plane_major(lpc_pre)
 
     if depth == 32:
         lrm = jnp.stack([left, right, mid], axis=0)  # [3, n, B] i32
-        a3 = analyze_planes(
-            lrm, 32, depth, B, config,
-            lpc_pre=_slice_pre(pre_pm, slice(0, 3)), speculate=speculate,
-        )
+        a3 = analyze_planes(lrm, 32, depth, B, config, speculate=speculate)
         a_s = analyze_planes(
-            side64, 64, depth, B, config, lpc_pre=_slice_pre(pre_pm, 3),
-            speculate=speculate,
+            side64, 64, depth, B, config, speculate=speculate
         )
         est = jnp.concatenate([a3.est_bits, a_s.est_bits[None]], axis=0)
         kind = jnp.concatenate([a3.kind, a_s.kind[None]], axis=0)
@@ -657,9 +634,7 @@ def plan_frames_stereo(
     else:
         side = side64.astype(jnp.int32)
         lrms = jnp.stack([left, right, mid, side], axis=0)  # [4, n, B]
-        a = analyze_planes(
-            lrms, 32, depth, B, config, lpc_pre=pre_pm, speculate=speculate
-        )
+        a = analyze_planes(lrms, 32, depth, B, config, speculate=speculate)
         est, kind, order, method = a.est_bits, a.kind, a.order, a.method
         part_order, params, residuals = a.part_order, a.params, a.residuals
         qcoeffs, qshift = a.qcoeffs, a.qshift
@@ -714,41 +689,9 @@ def plan_frames_stereo(
 
 
 def plan_frames(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig, lpc_pre=None,
+    frames: jnp.ndarray, depth: int, config: EncoderConfig,
     speculate: bool = False,
 ) -> FrameWirePlan:
     if config.stereo_auto:
-        return plan_frames_stereo(
-            frames, depth, config, lpc_pre=lpc_pre, speculate=speculate
-        )
-    return plan_frames_indep(
-        frames, depth, config, lpc_pre=lpc_pre, speculate=speculate
-    )
-
-
-def plan_lag_sums(
-    frames: jnp.ndarray, depth: int, config: EncoderConfig
-) -> jnp.ndarray:
-    """LPC phase-1 device program: candidate planes (same construction and
-    wasted-bit shave as plan_frames_*) -> exact integer autocorrelation limb
-    sums i64 [n, P, max_order+1, 3]. P = 4 stereo candidates (L, R, M, S) or
-    the channel count. The host turns these into quantized coefficients
-    (ops/lpc.py coeffs_from_lags) and feeds them back into the main encode
-    program as the ``lpc_pre`` inputs."""
-    from .lpc import lag_sums
-
-    n, c, B = frames.shape
-    if config.stereo_auto:
-        assert c == 2
-        l64 = frames[:, 0].astype(jnp.int64)
-        r64 = frames[:, 1].astype(jnp.int64)
-        mid = (l64 + r64) >> 1
-        side = l64 - r64
-        planes = jnp.stack([l64, r64, mid, side], axis=1)  # [n, 4, B]
-    else:
-        planes = frames.astype(jnp.int64)
-    planes, _w = _apply_wasted(planes, depth, config)
-    # compact i32 limbs whenever every plane (incl. the +1-bit side) fits
-    # 19 bits — halves the per-batch lag fetch, the LPC mode's sustained
-    # bottleneck on thin links
-    return lag_sums(planes, config.lpc_order, compact=depth + 1 <= 19)
+        return plan_frames_stereo(frames, depth, config, speculate=speculate)
+    return plan_frames_indep(frames, depth, config, speculate=speculate)

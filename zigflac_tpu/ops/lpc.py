@@ -7,17 +7,20 @@ coefficients with error feedback + shifted integer prediction.
 
 Determinism architecture (golden == device == any platform, by construction):
 
-* The autocorrelation — the only heavy float reduction — is EXACT integer
-  arithmetic: samples are windowed by a Q15 fixed-point Tukey(0.5) window
-  and each lag sum is carried as three int64 limb partial sums (hi·hi,
-  hi·lo+lo·hi, lo·lo over 24-bit limbs). Integer ops are bit-identical on
-  every backend, so the device computes lag sums on TPU and the golden
-  oracle computes the same integers in numpy.
-* Everything float — combining limbs into f64 lags, Levinson-Durbin, and
-  coefficient quantization — is ONE host numpy implementation shared by both
-  paths (`coeffs_from_lags`). Each step is a fixed IEEE-754 expression over
-  identical inputs, deterministic across hosts. TPU-emulated f64 (not
-  correctly rounded) never touches coefficients.
+* The ENTIRE derivation is integer arithmetic — no float touches
+  coefficients anywhere (TPU-emulated f64 is not correctly rounded, and
+  cross-backend float would break the byte-exactness invariant):
+  - autocorrelation: samples windowed by a Q15 fixed-point Tukey(0.5)
+    window, each lag sum carried as three int64 limb partial sums (hi·hi,
+    hi·lo+lo·hi, lo·lo over 24-bit limbs) — `lag_sums` (jnp) and
+    `lag_sums_np` produce the same exact integers;
+  - Levinson-Durbin + quantization: Q28 fixed point over int64 adds,
+    multiplies, arithmetic shifts and floor divisions
+    (`fixed_point_levinson`, one implementation parameterized by the
+    array module) — each op is exact and identical in numpy and XLA, so
+    the device runs it INSIDE the encode program (no lag fetch, no host
+    pre-pass, no coefficient upload) and the golden oracle runs the same
+    integers in numpy.
 * Residual computation from quantized coefficients is integer (jnp on
   device, numpy in golden — exact either way).
 
@@ -67,12 +70,8 @@ def tukey_q15(n: int) -> np.ndarray:
 def _normalize_limbs_jnp(hh, hl, ll):
     """Carry-propagate the limb triple so hl/ll land in [0, 2^24):
     hh2*2^48 + rhl*2^24 + rll == hh*2^48 + hl*2^24 + ll exactly (arithmetic
-    shifts floor-divide two's-complement i64). After normalization the
-    value's full magnitude lives in hh2, which fits int32 whenever
-    2*ss - 8 <= 31 (ss = per-plane sample bits incl. the side +1) — the
-    16-bit path ships lag blocks at half the d2h bytes, which is the LPC
-    mode's sustained bottleneck on thin links (~40 ms of a ~47 ms batch
-    measured on the axon relay)."""
+    shifts floor-divide two's-complement i64); the value's full magnitude
+    lives in hh2 — the floor decomposition _lags_q28 relies on."""
     m24 = jnp.int64((1 << _LIMB) - 1)
     qll = ll >> _LIMB
     rll = ll & m24
@@ -82,14 +81,13 @@ def _normalize_limbs_jnp(hh, hl, ll):
     return hh + qhl, rhl, rll
 
 
-def lag_sums(planes: jnp.ndarray, order: int, compact: bool = False) -> jnp.ndarray:
+def lag_sums(planes: jnp.ndarray, order: int) -> jnp.ndarray:
     """Exact integer windowed autocorrelation limb sums on device.
 
-    ``planes`` int [..., B] -> [..., order+1, 3] where lag k's exact
+    ``planes`` int [..., B] -> [..., order+1, 3] int64 where lag k's exact
     value is ``l0·2^48 + l1·2^24 + l2`` (a ~96-bit integer carried as
     three normalized partials). Bit-identical to ``lag_sums_np`` on any
-    backend. ``compact=True`` returns int32 limbs (valid for sample sizes
-    <= 19 bits — see _normalize_limbs_jnp); otherwise int64.
+    backend.
     """
     B = planes.shape[-1]
     wq = jnp.asarray(tukey_q15(B))
@@ -106,14 +104,13 @@ def lag_sums(planes: jnp.ndarray, order: int, compact: bool = False) -> jnp.ndar
         hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
         ll = (al * bl).sum(axis=-1)
         out.append(jnp.stack(_normalize_limbs_jnp(hh, hl, ll), axis=-1))
-    res = jnp.stack(out, axis=-2)
-    return res.astype(jnp.int32) if compact else res
+    return jnp.stack(out, axis=-2)
 
 
 def lag_sums_np(planes: np.ndarray, order: int) -> np.ndarray:
     """numpy mirror of ``lag_sums`` (golden path) — same exact integers,
-    same limb normalization (so device and golden hand coeffs_from_lags
-    byte-identical float inputs)."""
+    same limb normalization (so fixed_point_levinson sees byte-identical
+    integer inputs from either backend)."""
     B = planes.shape[-1]
     x = planes.astype(np.int64) * tukey_q15(B)
     hi = x >> _LIMB
@@ -135,71 +132,123 @@ def lag_sums_np(planes: np.ndarray, order: int) -> np.ndarray:
     return np.stack(out, axis=-2)
 
 
-def coeffs_from_lags(
-    lags: np.ndarray, orders: Tuple[int, ...], precision: int
-) -> List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]]:
-    """Limb lag sums -> quantized coefficients, on host, deterministically.
+_Q = 28  # Levinson fixed-point fraction bits
 
-    ``lags`` int64 [..., max_order+1, 3] -> list of
-    ``(order, qcoeffs i32 [..., 32] zero-padded, shift i32 [...], ok bool)``
-    per candidate order (one Levinson recursion captures all of them).
-    """
-    r = (
-        lags[..., 0].astype(np.float64) * float(1 << (2 * _LIMB))
-        + lags[..., 1].astype(np.float64) * float(1 << _LIMB)
-        + lags[..., 2].astype(np.float64)
+
+def _bitlen_nonneg(x, xp):
+    """Bit length of a non-negative int64 array — pure integer binary
+    search (identical in numpy and XLA; no clz dependency)."""
+    n = xp.zeros_like(x)
+    for sh in (32, 16, 8, 4, 2, 1):
+        big = (x >> sh) > 0
+        n = n + xp.where(big, sh, 0)
+        x = xp.where(big, x >> sh, x)
+    return n + (x > 0)
+
+
+def _lags_q28(lags, xp):
+    """Limb lag sums -> Q28 normalized autocorrelation r_k = v_k / v_0.
+
+    Exact integer arithmetic: per frame, v_k >> s with s = bitlen(v_0)-30
+    (|v_k| <= v_0 by Cauchy-Schwarz, so the shifted values fit ~31 bits;
+    the s < 48 branch computes a*2^(48-s) + (lo48 >> s), exact because
+    two's-complement limbs are already the floor decomposition), then
+    r_k = (vs_k << 28) // vs_0. Every op floors identically in numpy and
+    XLA."""
+    a = lags[..., 0]
+    lo48 = (lags[..., 1] << np.int64(_LIMB)) + lags[..., 2]  # [0, 2^48)
+    a0 = a[..., 0:1]
+    lo0 = lo48[..., 0:1]
+    bl = xp.where(a0 > 0, 48 + _bitlen_nonneg(a0, xp), _bitlen_nonneg(lo0, xp))
+    s = xp.maximum(bl - 30, 0)
+    hi_sh = xp.minimum(xp.maximum(s - 48, 0), np.int64(63))
+    lo_up = xp.maximum(48 - s, 0)
+    lo_dn = xp.minimum(s, np.int64(47))
+    vs = xp.where(
+        s >= 48,
+        a >> hi_sh,
+        (a << lo_up) + (lo48 >> lo_dn),
     )
+    v0 = xp.maximum(vs[..., 0:1], 1)
+    return (vs << np.int64(_Q)) // v0  # Q28, r_0 == 2^28 exactly
+
+
+def _quantize_fixed(coeffs, order: int, precision: int, xp):
+    """Quantize Q28 coefficients to ``precision`` signed bits with error
+    feedback — the float scheme's exact integer twin: shift =
+    precision-1 - (floor(log2 cmax)+1) in [0, 15], q_j = clamp(round(c_j *
+    2^shift + fb)) with round-half-up (a defined deterministic rule; both
+    backends use it, so golden == device by construction)."""
+    cmax = xp.abs(coeffs[..., :order]).max(axis=-1)
+    bl = _bitlen_nonneg(cmax, xp)  # floor(log2 cmax) = bl - 1 - _Q
+    shift = xp.clip((precision - 1) - (bl - 1 - _Q + 1), 0, 15)
+    qmax = np.int64((1 << (precision - 1)) - 1)
+    qmin = np.int64(-(1 << (precision - 1)))
+    half = np.int64(1 << (_Q - 1))
+    fb = xp.zeros_like(cmax)
+    qs = []
+    for j in range(order):
+        target = (coeffs[..., j] << shift) + fb
+        q = xp.clip((target + half) >> np.int64(_Q), qmin, qmax)
+        fb = target - (q << np.int64(_Q))
+        qs.append(q.astype(xp.int32))
+    qcoeffs = xp.stack(qs, axis=-1)
+    # cmax == 0 (all-zero coefficients: silence) and runaway magnitudes
+    # (unstable recursion) both disqualify the candidate
+    ok = (cmax > 0) & (cmax < (np.int64(1) << np.int64(48)))
+    return qcoeffs, shift.astype(xp.int32), ok
+
+
+def fixed_point_levinson(lags, orders: Tuple[int, ...], precision: int, xp):
+    """Limb lag sums -> quantized coefficients, in PURE INTEGER fixed
+    point (Q28) — runs inside the device encode program (jnp) and in the
+    golden oracle (numpy) with bit-identical results, so LPC needs no
+    host round trip at all (the round-3 float flow fetched lag sums,
+    ran IEEE f64 Levinson on host, and uploaded coefficients: ~40 ms of
+    transfer per batch on thin links).
+
+    ``lags`` int64 [..., max_order+1, 3] limbs -> list of ``(order,
+    qcoeffs i32 [..., 32] zero-padded, shift i32 [...], ok bool)`` per
+    candidate order (one recursion captures all of them). All arithmetic
+    is int64 adds / multiplies / arithmetic shifts / floor divisions —
+    each exact and identical across backends. Magnitudes are clamped
+    (|k| <= 2 in Q28, |c| <= 32, |acc| <= 64) so no product can overflow
+    int64; clamped (unstable) recursions produce valid-but-poor
+    coefficients that lose the candidate search or trip ``ok``."""
+    r = _lags_q28(lags, xp)
     max_order = max(orders)
     batch = r.shape[:-1]
-    eps = 1e-9
-    err = r[..., 0] + eps
-    coeffs = np.zeros(batch + (max_order,), np.float64)
+    one = np.int64(1 << _Q)
+    err = xp.full(batch, one)  # r_0 normalized to exactly 1.0
+    k_clip = np.int64(2 << _Q)
+    c_clip = np.int64(32 << _Q)
+    a_clip = np.int64(64 << _Q)
+    coeffs = [xp.zeros(batch, xp.int64) for _ in range(max_order)]
     out = []
     for i in range(max_order):
-        acc = r[..., i + 1].copy()
+        acc = r[..., i + 1]
         for j in range(i):
-            acc -= coeffs[..., j] * r[..., i - j]
-        k = acc / err
-        new = coeffs.copy()
+            acc = acc - ((coeffs[j] * r[..., i - j]) >> np.int64(_Q))
+        acc = xp.clip(acc, -a_clip, a_clip)
+        k = xp.clip((acc << np.int64(_Q)) // xp.maximum(err, 1), -k_clip,
+                    k_clip)
+        new = list(coeffs)
         for j in range(i):
-            new[..., j] = coeffs[..., j] - k * coeffs[..., i - 1 - j]
-        new[..., i] = k
+            new[j] = xp.clip(
+                coeffs[j] - ((k * coeffs[i - 1 - j]) >> np.int64(_Q)),
+                -c_clip, c_clip,
+            )
+        new[i] = k
         coeffs = new
-        err = err * (1.0 - k * k)
-        err = np.maximum(err, eps)
+        err = (err * xp.maximum(one - ((k * k) >> np.int64(_Q)), 1)) >> (
+            np.int64(_Q)
+        )
         if (i + 1) in orders:
-            qc, shift, ok = _quantize_np(coeffs[..., : i + 1], precision)
-            qc32 = np.zeros(batch + (32,), np.int32)
-            qc32[..., : i + 1] = qc
-            out.append((i + 1, qc32, shift, ok))
+            cstack = xp.stack(coeffs[: i + 1], axis=-1)
+            qc, shift, ok = _quantize_fixed(cstack, i + 1, precision, xp)
+            pad = [(0, 0)] * (qc.ndim - 1) + [(0, 32 - (i + 1))]
+            out.append((i + 1, xp.pad(qc, pad), shift, ok))
     return out
-
-
-def _quantize_np(coeffs: np.ndarray, precision: int):
-    """Quantize float coefficients to ``precision`` signed bits with error
-    feedback (the standard FLAC scheme): shift = precision-1 - ilog2(cmax)-1,
-    clamped to [0, 15]; q_j = clamp(round(c_j * 2^shift + err))."""
-    order = coeffs.shape[-1]
-    cmax = np.maximum(np.abs(coeffs).max(axis=-1), 1e-9)
-    with np.errstate(invalid="ignore"):
-        log2_cmax = np.floor(np.log2(cmax))
-    log2_cmax = np.where(np.isfinite(log2_cmax), log2_cmax, 30).astype(np.int32)
-    shift = np.clip((precision - 1) - (log2_cmax + 1), 0, 15).astype(np.int32)
-    qmax = (1 << (precision - 1)) - 1
-    qmin = -(1 << (precision - 1))
-    scale = np.exp2(shift.astype(np.float64))
-    err = np.zeros(coeffs.shape[:-1], np.float64)
-    qs = []
-    with np.errstate(invalid="ignore"):
-        for j in range(order):
-            target = coeffs[..., j] * scale + err
-            target = np.where(np.isfinite(target), target, 0.0)
-            q = np.clip(np.round(target), qmin, qmax)
-            err = target - q
-            qs.append(q.astype(np.int32))
-    qcoeffs = np.stack(qs, axis=-1)
-    ok = np.isfinite(cmax) & (cmax < float(1 << 20))
-    return qcoeffs, shift, ok
 
 
 def lpc_residuals(
@@ -255,13 +304,15 @@ def lpc_candidate_orders(lpc_order: int):
 
 
 def analyze_lpc_multi_np(planes: np.ndarray, lpc_order: int, precision: int):
-    """Full host LPC analysis (golden path): numpy lag sums + the shared
-    host coefficient derivation + numpy residuals. Returns a list of
-    (order, residuals i32 [..., B], qcoeffs i32 [..., 32], shift, ok)."""
+    """Full host LPC analysis (golden path): numpy lag sums, the SAME
+    integer Q28 Levinson the device program runs (fixed_point_levinson
+    with xp=np — bit-identical by construction), and numpy residuals.
+    Returns a list of (order, residuals i32 [..., B], qcoeffs i32
+    [..., 32], shift, ok)."""
     orders = lpc_candidate_orders(lpc_order)
     lags = lag_sums_np(planes, lpc_order)
     out = []
-    for o, qc, shift, ok in coeffs_from_lags(lags, orders, precision):
+    for o, qc, shift, ok in fixed_point_levinson(lags, orders, precision, np):
         res, fits = lpc_residuals_np(planes, qc, shift, o)
         out.append((o, res, qc, shift, ok & fits))
     return out

@@ -40,7 +40,7 @@ def default_mesh(devices=None) -> Mesh:
 _MESHES = {}
 
 
-def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
+def _encode_shard_compact(frames, frame_numbers, *, config, depth,
                           hstatic, block_size, max_words, capb, deposit,
                           speculate):
     """Per-shard production compact-stream encode: each chip packs and
@@ -48,13 +48,11 @@ def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
     frame order. The metadata row grows one entry: the global overflow
     any-reduce (``pmax`` over ICI), alongside the local flag — the host can
     read any single row to learn whether the whole batch needs the capacity
-    ladder, while the local flags still say which shard to re-encode.
-    ``lpc_args`` is () or the (qc, shift, ok) coefficient inputs, sharded
-    on frames."""
+    ladder, while the local flags still say which shard to re-encode."""
     from ..models.pipeline import _encode_batch_compact
 
     stream, meta = _encode_batch_compact(
-        frames, frame_numbers, *lpc_args, config=config, depth=depth,
+        frames, frame_numbers, config=config, depth=depth,
         hstatic=hstatic, block_size=block_size, max_words=max_words,
         capb=capb, deposit=deposit, speculate=speculate,
     )
@@ -68,8 +66,7 @@ def _encode_shard_compact(frames, frame_numbers, *lpc_args, config, depth,
 @lru_cache(maxsize=32)
 def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
                         block_size: int, sample_rate: int, tier: int,
-                        batch_local: int, deposit: str, n_lpc_args: int,
-                        mesh_key):
+                        batch_local: int, deposit: str, mesh_key):
     """The sharded twin of pipeline._compiled_encode_compact: one SPMD
     program over the mesh, each shard running the tier's compact program on
     ``batch_local`` frames. Returns (fn, per-frame word cap in bytes)."""
@@ -102,7 +99,7 @@ def _sharded_compact_fn(config: EncoderConfig, depth: int, c: int,
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(FRAME_AXIS),) * (2 + n_lpc_args),
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
         out_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
     )
     return jax.jit(mapped), max_words * 4
@@ -117,7 +114,6 @@ def encode_compact_sharded(
     tier: int,
     deposit: str,
     mesh: Mesh,
-    lpc_pre=(),
 ):
     """Production sharded encode: [N, C, B] frames (N divisible by mesh
     size) -> (stream u32 [ndev, capw_local], meta i64 [ndev, local+3]).
@@ -125,8 +121,8 @@ def encode_compact_sharded(
     ([sizes..., total_words, overflow_local, overflow_any]), in frame
     order — the host collects each row exactly like a single-device batch,
     and re-encodes only overflowing shards through the capacity ladder.
-    ``lpc_pre`` is () or the (qc, shift, ok) host-derived coefficient
-    arrays, frame-major (sharded like frames)."""
+    LPC mode needs no extra inputs: coefficients derive in-program from
+    each shard's own lag sums (ops/lpc.fixed_point_levinson)."""
     mesh_key = tuple(d.id for d in mesh.devices.flat)
     _MESHES[mesh_key] = mesh
     n, c, B = frames.shape
@@ -134,8 +130,7 @@ def encode_compact_sharded(
     if n % ndev != 0:
         raise ValueError(f"frame count {n} not divisible by mesh size {ndev}")
     fn, frame_cap = _sharded_compact_fn(
-        config, depth, c, B, sample_rate, tier, n // ndev, deposit,
-        len(lpc_pre), mesh_key
+        config, depth, c, B, sample_rate, tier, n // ndev, deposit, mesh_key
     )
-    stream, meta = fn(frames, frame_numbers, *lpc_pre)
+    stream, meta = fn(frames, frame_numbers)
     return stream, meta, frame_cap
