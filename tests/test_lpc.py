@@ -105,7 +105,7 @@ def test_fixed_levinson_shapes_and_silence(rng):
     planes = np.zeros((3, 256), np.int32)  # silence: must not crash
     out = fixed_point_levinson(lag_sums_np(planes, 8), orders, 15, np)
     assert [o for o, *_ in out] == list(orders)
-    for o, qc, sh, ok in out:
+    for o, qc, sh, ok, err in out:
         assert qc.shape == (3, 32)
         assert (qc[:, o:] == 0).all()
         assert not ok.any()  # silence disqualifies the LPC candidate
@@ -140,10 +140,11 @@ def test_fixed_levinson_device_equals_numpy(rng):
     @jax.jit
     def dev(lg):
         outs = fixed_point_levinson(lg, orders, 14, jnp)
-        return [(q, s, k) for _o, q, s, k in outs]
+        return [(q, s, k, e) for _o, q, s, k, e in outs]
 
     got = dev(jnp.asarray(lags))
-    for (o, qr, sr, kr), (qd, sd, kd) in zip(ref, got):
+    for (o, qr, sr, kr, er), (qd, sd, kd, ed) in zip(ref, got):
         np.testing.assert_array_equal(qr, np.asarray(qd)), o
         np.testing.assert_array_equal(sr, np.asarray(sd))
         np.testing.assert_array_equal(kr, np.asarray(kd))
+        np.testing.assert_array_equal(er, np.asarray(ed))

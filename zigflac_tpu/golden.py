@@ -271,17 +271,18 @@ def choose_subframe(
     if config.prediction == "lpc":
         # Extension (the reference stubs LPC): the whole coefficient
         # derivation is pure integer math (exact lag sums + the Q28
-        # fixed-point Levinson, ops/lpc.py) — numpy here, the SAME integer
-        # ops inside the device program — so both backends decide
-        # identically on any platform. The candidate loop mirrors the
-        # device's first-strictly-smaller rule.
-        from .ops.lpc import analyze_lpc_multi_np
+        # fixed-point Levinson + err-based candidate-order selection,
+        # ops/lpc.py) — numpy here, the SAME integer ops inside the
+        # device program — so both backends decide identically on any
+        # platform: one selected candidate, first-strictly-smaller cost
+        # vs the fixed predictor.
+        from .ops.lpc import analyze_lpc_np
 
-        for o, l_res, l_q, l_shift, l_ok in analyze_lpc_multi_np(
+        l_ord, l_res, l_q, l_shift, l_ok = analyze_lpc_np(
             plane[None], lpc_order, config.lpc_precision
-        ):
-            if not bool(np.asarray(l_ok)[0]):
-                continue
+        )
+        if bool(np.asarray(l_ok)[0]):
+            o = int(np.asarray(l_ord)[0])
             l_res = np.asarray(l_res)[0]
             l_bits, l_cfg = rice_calc_params(
                 l_res, config.max_rice_order, config.max_rice_param,

@@ -464,49 +464,57 @@ def analyze_planes(
     qcoeffs, qshift = zq, z32
 
     if config.prediction == "lpc":
-        # extension: LPC candidates at several orders compete with the best
-        # fixed predictor on estimated bits + coefficient overhead; first
-        # strictly-smaller cost wins. The WHOLE derivation is in-program
-        # integer math — exact windowed autocorrelation limb sums
-        # (ops/lpc.lag_sums) through the Q28 fixed-point Levinson +
-        # quantization (fixed_point_levinson) — bit-identical to the
-        # golden oracle's numpy run of the same integer ops, with no host
-        # round trip (the round-3 float flow fetched lag sums and
-        # uploaded coefficients: ~40 ms/batch of relay transfer).
+        # extension: ONE LPC candidate competes with the best fixed
+        # predictor on estimated bits + coefficient overhead (strict <).
+        # The WHOLE derivation is in-program integer math — exact windowed
+        # autocorrelation limb sums (ops/lpc.lag_sums) through the Q28
+        # fixed-point Levinson + quantization (fixed_point_levinson) —
+        # bit-identical to the golden oracle's numpy run of the same
+        # integer ops, with no host round trip. The candidate ORDER is
+        # picked from the recursion's prediction-error energies
+        # (select_lpc_candidate — the reference's estimate-then-one-Rice-
+        # pass philosophy, libFLAC/fixed.zig:88-168), so only one Rice
+        # sweep and one residual computation run instead of one per
+        # candidate order (the LPC mode's dominant cost).
         from .lpc import (
             fixed_point_levinson,
             lag_sums,
             lpc_candidate_orders,
             lpc_residuals,
+            select_lpc_candidate,
         )
 
         lags = lag_sums(planes, config.lpc_order)
-        lpc_pre = fixed_point_levinson(
+        pre = fixed_point_levinson(
             lags, lpc_candidate_orders(config.lpc_order),
             config.lpc_precision, jnp,
         )
-        use_lpc = jnp.zeros(batch_shape, bool)
-        for o, l_q, l_shift, l_okq in lpc_pre:
-            l_res, l_fits = lpc_residuals(planes, l_q, l_shift, o)
-            l_ok = l_okq & l_fits
-            l_order = jnp.full(batch_shape, o, jnp.int32)
-            l_bits, l_method, l_po, l_params, l_unsafe = rice_estimate(
-                l_res, l_order, B, config.max_rice_order, max_param,
-                speculate=speculate,
-            )
-            sweep_unsafe = sweep_unsafe | l_unsafe
-            l_cost = l_bits + jnp.uint64(9 + o * config.lpc_precision)
-            better = l_ok & (l_cost < rice_bits)
-            rice_bits = jnp.where(better, l_cost, rice_bits)
-            method = jnp.where(better, l_method, method)
-            part_order = jnp.where(better, l_po, part_order)
-            params = jnp.where(better[..., None], l_params, params)
-            residuals = jnp.where(better[..., None], l_res, residuals)
-            order = jnp.where(better, l_order, order)
-            # l_q arrives 32-wide (zero-padded past the order) from the host
-            qcoeffs = jnp.where(better[..., None], l_q, qcoeffs)
-            qshift = jnp.where(better, l_shift, qshift)
-            use_lpc = use_lpc | better
+        l_order, l_q, l_shift, l_okq = select_lpc_candidate(
+            pre, B, config.lpc_precision, jnp
+        )
+        l_res, l_fits = lpc_residuals(
+            planes, l_q, l_shift, l_order, config.lpc_order, jnp
+        )
+        l_ok = l_okq & l_fits
+        l_bits, l_method, l_po, l_params, l_unsafe = rice_estimate(
+            l_res, l_order, B, config.max_rice_order, max_param,
+            speculate=speculate,
+        )
+        sweep_unsafe = sweep_unsafe | l_unsafe
+        l_cost = l_bits + (
+            jnp.uint64(9)
+            + l_order.astype(jnp.uint64) * jnp.uint64(config.lpc_precision)
+        )
+        better = l_ok & (l_cost < rice_bits)
+        rice_bits = jnp.where(better, l_cost, rice_bits)
+        method = jnp.where(better, l_method, method)
+        part_order = jnp.where(better, l_po, part_order)
+        params = jnp.where(better[..., None], l_params, params)
+        residuals = jnp.where(better[..., None], l_res, residuals)
+        order = jnp.where(better, l_order, order)
+        qcoeffs = jnp.where(better[..., None], l_q, qcoeffs)
+        qshift = jnp.where(better, l_shift, qshift)
+        use_lpc = better
         pred_kind = jnp.where(use_lpc, 3, 2).astype(jnp.int32)
     else:
         use_lpc = jnp.zeros(batch_shape, bool)

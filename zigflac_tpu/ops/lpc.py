@@ -208,13 +208,15 @@ def fixed_point_levinson(lags, orders: Tuple[int, ...], precision: int, xp):
     transfer per batch on thin links).
 
     ``lags`` int64 [..., max_order+1, 3] limbs -> list of ``(order,
-    qcoeffs i32 [..., 32] zero-padded, shift i32 [...], ok bool)`` per
-    candidate order (one recursion captures all of them). All arithmetic
-    is int64 adds / multiplies / arithmetic shifts / floor divisions —
-    each exact and identical across backends. Magnitudes are clamped
-    (|k| <= 2 in Q28, |c| <= 32, |acc| <= 64) so no product can overflow
-    int64; clamped (unstable) recursions produce valid-but-poor
-    coefficients that lose the candidate search or trip ``ok``."""
+    qcoeffs i32 [..., 32] zero-padded, shift i32 [...], ok bool, err Q28
+    int64)`` per candidate order (one recursion captures all of them;
+    ``err`` is the recursion's prediction-error energy, the candidate-
+    selection signal — see select_lpc_candidate). All arithmetic is
+    int64 adds / multiplies / arithmetic shifts / floor divisions — each
+    exact and identical across backends. Magnitudes are clamped (|k| <= 2
+    in Q28, |c| <= 32, |acc| <= 64) so no product can overflow int64;
+    clamped (unstable) recursions produce valid-but-poor coefficients
+    that lose the candidate search or trip ``ok``."""
     r = _lags_q28(lags, xp)
     max_order = max(orders)
     batch = r.shape[:-1]
@@ -247,47 +249,80 @@ def fixed_point_levinson(lags, orders: Tuple[int, ...], precision: int, xp):
             cstack = xp.stack(coeffs[: i + 1], axis=-1)
             qc, shift, ok = _quantize_fixed(cstack, i + 1, precision, xp)
             pad = [(0, 0)] * (qc.ndim - 1) + [(0, 32 - (i + 1))]
-            out.append((i + 1, xp.pad(qc, pad), shift, ok))
+            out.append((i + 1, xp.pad(qc, pad), shift, ok, err))
     return out
 
 
-def lpc_residuals(
-    planes: jnp.ndarray, qcoeffs: jnp.ndarray, shift: jnp.ndarray, order: int
-):
+def _log2_q8(e, xp):
+    """Deterministic integer log2 with 8 fractional bits (linear mantissa
+    interpolation) for POSITIVE int64 inputs <= 2^40: monotone and
+    identical in numpy and XLA — accuracy only shapes the candidate-order
+    trade-off, determinism is what correctness needs."""
+    bl = _bitlen_nonneg(e, xp)
+    top = xp.maximum(bl - 1, 0)
+    mant = (e << np.int64(8)) >> top  # in [256, 512)
+    return (top << np.int64(8)) + mant - np.int64(256)
+
+
+def select_lpc_candidate(pre, block_size: int, precision: int, xp):
+    """Pick ONE candidate order per plane from the Levinson outputs by
+    estimated cost — the reference's own philosophy for fixed orders
+    (libFLAC/fixed.zig:88-168 picks by error sums, THEN runs one Rice
+    estimate): est_bits(o) ~ B * log2(err_o)/2 + coefficient overhead
+    (9 + o*precision). One Rice sweep then runs for the selected
+    candidate instead of one per candidate (the LPC mode's dominant cost
+    once coefficients moved in-program). Integer Q8 log2 keeps the rule
+    bit-identical across backends; first-min tie-break over ascending
+    orders. Returns (order i32 [...], qc i32 [..., 32], shift i32, ok) —
+    ``ok`` is False when NO candidate is usable."""
+    score = None
+    order = qc = shift = ok = None
+    for o, c_qc, c_shift, c_ok, c_err in pre:
+        s = (block_size * _log2_q8(xp.maximum(c_err, 1), xp)) >> np.int64(1)
+        s = s + np.int64((9 + o * precision) << 8)
+        # unusable candidates never win: larger than any real score
+        s = xp.where(c_ok, s, np.int64(1) << np.int64(62))
+        if score is None:
+            score, order = s, xp.full(s.shape, o, xp.int32)
+            qc, shift, ok = c_qc, c_shift, c_ok
+        else:
+            better = s < score  # strict <: first-min keeps the lower order
+            score = xp.where(better, s, score)
+            order = xp.where(better, o, order).astype(xp.int32)
+            qc = xp.where(better[..., None], c_qc, qc)
+            shift = xp.where(better, c_shift, shift)
+            ok = ok | c_ok
+    return order, qc, shift, ok
+
+
+def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp):
     """r[i] = s[i] - (sum_j q_j * s[i-1-j] >> shift) for i >= order, first
-    ``order`` slots zeroed. Returns (residuals i32 [..., B], fits_i32 bool)."""
+    ``order`` slots zeroed. ``order`` is a PER-PLANE array (the selected
+    candidate); the tap loop runs ``max_order`` static iterations and the
+    zero-padded qcoeffs beyond each plane's real order contribute nothing.
+    One implementation for both backends (exact integers either way).
+    Returns (residuals i32 [..., B], fits_i32 bool)."""
     B = planes.shape[-1]
-    s = planes.astype(jnp.int64)
-    pred = jnp.zeros_like(s)
-    for j in range(order):
-        sh = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(j + 1, 0)])[..., :B]
-        pred = pred + qcoeffs[..., j : j + 1].astype(jnp.int64) * sh
-    pred = pred >> shift[..., None].astype(jnp.int64)
+    s = planes.astype(xp.int64)
+    pred = xp.zeros_like(s)
+    for j in range(max_order):
+        if xp is np:
+            sh = np.zeros_like(s)
+            sh[..., j + 1 :] = s[..., : B - j - 1]
+        else:
+            sh = xp.pad(s, [(0, 0)] * (s.ndim - 1) + [(j + 1, 0)])[..., :B]
+        pred = pred + qcoeffs[..., j : j + 1].astype(xp.int64) * sh
+    pred = pred >> shift[..., None].astype(xp.int64)
     res = s - pred
-    idx = jax.lax.broadcasted_iota(jnp.int32, planes.shape, planes.ndim - 1)
-    res = jnp.where(idx < order, 0, res)
-    i32max = jnp.int64((1 << 31) - 1)
+    if xp is np:
+        idx = np.arange(B, dtype=np.int32)
+        idx = np.broadcast_to(idx, planes.shape)
+    else:
+        idx = jax.lax.broadcasted_iota(xp.int32, planes.shape, planes.ndim - 1)
+    res = xp.where(idx < xp.asarray(order)[..., None], 0, res)
+    i32max = np.int64((1 << 31) - 1)
     fits = ((res <= i32max) & (res >= -i32max - 1)).all(axis=-1)
-    return res.astype(jnp.int32), fits
-
-
-def lpc_residuals_np(
-    planes: np.ndarray, qcoeffs: np.ndarray, shift: np.ndarray, order: int
-):
-    """numpy mirror of ``lpc_residuals`` (golden path) — exact integers."""
-    B = planes.shape[-1]
-    s = planes.astype(np.int64)
-    pred = np.zeros_like(s)
-    for j in range(order):
-        sh = np.zeros_like(s)
-        sh[..., j + 1 :] = s[..., : B - j - 1]
-        pred += qcoeffs[..., j : j + 1].astype(np.int64) * sh
-    pred >>= shift[..., None].astype(np.int64)
-    res = s - pred
-    res[..., :order] = 0
-    i32max = (1 << 31) - 1
-    fits = ((res <= i32max) & (res >= -i32max - 1)).all(axis=-1)
-    return res.astype(np.int32), fits
+    return res.astype(xp.int32), fits
 
 
 def lpc_candidate_orders(lpc_order: int):
@@ -303,16 +338,16 @@ def lpc_candidate_orders(lpc_order: int):
     return tuple(sorted(cands))
 
 
-def analyze_lpc_multi_np(planes: np.ndarray, lpc_order: int, precision: int):
+def analyze_lpc_np(planes: np.ndarray, lpc_order: int, precision: int):
     """Full host LPC analysis (golden path): numpy lag sums, the SAME
-    integer Q28 Levinson the device program runs (fixed_point_levinson
-    with xp=np — bit-identical by construction), and numpy residuals.
-    Returns a list of (order, residuals i32 [..., B], qcoeffs i32
-    [..., 32], shift, ok)."""
+    integer Q28 Levinson + err-based candidate selection the device
+    program runs (bit-identical by construction), and numpy residuals for
+    the ONE selected order. Returns (order i32 [...], residuals i32
+    [..., B], qcoeffs i32 [..., 32], shift, ok)."""
+    B = planes.shape[-1]
     orders = lpc_candidate_orders(lpc_order)
     lags = lag_sums_np(planes, lpc_order)
-    out = []
-    for o, qc, shift, ok in fixed_point_levinson(lags, orders, precision, np):
-        res, fits = lpc_residuals_np(planes, qc, shift, o)
-        out.append((o, res, qc, shift, ok & fits))
-    return out
+    pre = fixed_point_levinson(lags, orders, precision, np)
+    order, qc, shift, ok = select_lpc_candidate(pre, B, precision, np)
+    res, fits = lpc_residuals(planes, qc, shift, order, lpc_order, np)
+    return order, res, qc, shift, ok & fits
