@@ -89,9 +89,35 @@ def test_lag_sums_jnp_equals_numpy(rng):
 
     for depth, kind in [(16, "mixed"), (24, "sine"), (32, "noise")]:
         planes = make_signal(rng, 512, channels=2, depth=depth, kind=kind)
-        a = np.asarray(lag_sums(jnp.asarray(planes), 8))
-        b = lag_sums_np(planes, 8)
-        np.testing.assert_array_equal(a, b)
+        for ss in (None, depth):  # general tier AND the depth-gated tier
+            a = np.asarray(lag_sums(jnp.asarray(planes), 8, ss))
+            b = lag_sums_np(planes, 8, ss)
+            np.testing.assert_array_equal(a, b)
+
+
+def test_lag_sums_tiers_identical_at_extremes(rng):
+    """Every product tier computes the SAME exact value (unique normalized
+    limb decomposition), including at full-scale boundary magnitudes where
+    the tier bounds are tightest — side planes carry sample_size+1 bits."""
+    import jax.numpy as jnp
+
+    from zigflac_tpu.ops.lpc import _lag_tier, lag_sums, lag_sums_np
+
+    for ss, B in [(8, 4096), (12, 4096), (16, 4096), (16, 8192), (20, 4096)]:
+        lim = 1 << ss  # side-plane magnitude: sample_size+1 signed bits
+        planes = rng.integers(-lim, lim, size=(3, B), dtype=np.int64)
+        planes[0, :] = -lim  # constant full-scale: maximal correlation
+        planes[1, ::2], planes[1, 1::2] = -lim, lim - 1
+        ref = lag_sums_np(planes, 8, None)  # general limb path
+        got = lag_sums_np(planes, 8, ss)  # gated tier
+        np.testing.assert_array_equal(got, ref), (ss, B)
+        dev = np.asarray(lag_sums(jnp.asarray(planes), 8, ss))
+        np.testing.assert_array_equal(dev, ref)
+    # gate sanity: common depths take the cheap tiers
+    assert _lag_tier(8, 4096) == 0
+    assert _lag_tier(16, 4096) == 1
+    assert _lag_tier(20, 4096) == 2
+    assert _lag_tier(None, 4096) == 2
 
 
 def test_fixed_levinson_shapes_and_silence(rng):

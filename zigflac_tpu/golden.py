@@ -279,7 +279,7 @@ def choose_subframe(
         from .ops.lpc import analyze_lpc_np
 
         l_ord, l_res, l_q, l_shift, l_ok = analyze_lpc_np(
-            plane[None], lpc_order, config.lpc_precision
+            plane[None], lpc_order, config.lpc_precision, sample_size
         )
         if bool(np.asarray(l_ok)[0]):
             o = int(np.asarray(l_ord)[0])

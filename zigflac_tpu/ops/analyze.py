@@ -484,7 +484,7 @@ def analyze_planes(
             select_lpc_candidate,
         )
 
-        lags = lag_sums(planes, config.lpc_order)
+        lags = lag_sums(planes, config.lpc_order, sample_size)
         pre = fixed_point_levinson(
             lags, lpc_candidate_orders(config.lpc_order),
             config.lpc_precision, jnp,

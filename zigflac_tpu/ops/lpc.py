@@ -67,69 +67,102 @@ def tukey_q15(n: int) -> np.ndarray:
     return np.round(tukey_window(n) * 32768.0).astype(np.int64)
 
 
-def _normalize_limbs_jnp(hh, hl, ll):
-    """Carry-propagate the limb triple so hl/ll land in [0, 2^24):
-    hh2*2^48 + rhl*2^24 + rll == hh*2^48 + hl*2^24 + ll exactly (arithmetic
-    shifts floor-divide two's-complement i64); the value's full magnitude
-    lives in hh2 — the floor decomposition _lags_q28 relies on."""
-    m24 = jnp.int64((1 << _LIMB) - 1)
-    qll = ll >> _LIMB
-    rll = ll & m24
-    hl2 = hl + qll
-    qhl = hl2 >> _LIMB
-    rhl = hl2 & m24
-    return hh + qhl, rhl, rll
+def _lag_tier(sample_size, block_size: int) -> int:
+    """Pick the cheapest exact product strategy for the lag sums from the
+    magnitude proof |xw| <= 2^(sample_size+1+14) (side planes carry one
+    extra bit; the Q15 window adds 15, signed magnitude drops 1):
+
+    * tier 0 — ONE i64 product per lag: the full product sum fits i64.
+    * tier 1 — TWO products per lag (full x times y>>16 and y&0xFFFF):
+      each partial sum fits i64 (covers 12/16-bit audio, the common
+      case — HALF the multiplies and reduces of the limb path).
+    * tier 2 — the general 24-bit-limb path (4 products per lag; the
+      only one that handles 20/24/32-bit depths).
+
+    The computed VALUE is identical in every tier (exact integers) and
+    the normalized limb decomposition is unique, so the tier choice can
+    never affect bytes — only speed."""
+    if sample_size is None:
+        return 2
+    d = sample_size + 1 + 14  # |xw| <= 2^d
+    lb = max(int(block_size) - 1, 1).bit_length()  # ceil(log2 B)
+    if 2 * d + lb <= 62:
+        return 0
+    if max(2 * d - 16, d + 16) + lb <= 62:
+        return 1
+    return 2
 
 
-def lag_sums(planes: jnp.ndarray, order: int) -> jnp.ndarray:
+def _lag_sums_impl(planes, order: int, sample_size, xp):
+    B = planes.shape[-1]
+    x = planes.astype(xp.int64) * tukey_q15(B)
+    m24 = np.int64((1 << _LIMB) - 1)
+    tier = _lag_tier(sample_size, B)
+    if tier == 2:
+        hi = x >> np.int64(_LIMB)
+        lo = x & m24
+    elif tier == 1:
+        yh = x >> np.int64(16)
+        yl = x & np.int64(0xFFFF)
+    out = []
+    for k in range(order + 1):
+        if tier == 0:
+            s = (x[..., k:] * x[..., : B - k]) if k else (x * x)
+            s = s.sum(axis=-1)
+            c = s >> np.int64(_LIMB)
+            out.append(
+                xp.stack([c >> np.int64(_LIMB), c & m24, s & m24], axis=-1)
+            )
+        elif tier == 1:
+            a = x[..., k:] if k else x
+            bh = yh[..., : B - k] if k else yh
+            bl = yl[..., : B - k] if k else yl
+            s_h = (a * bh).sum(axis=-1)
+            s_l = (a * bl).sum(axis=-1)
+            # value = s_h*2^16 + s_l = A*2^24 + Bp, exactly (floor
+            # semantics throughout: two's-complement >> and & are the
+            # floor decomposition)
+            A = s_h >> np.int64(8)
+            Bp = ((s_h & np.int64(0xFF)) << np.int64(16)) + s_l
+            c = Bp >> np.int64(_LIMB)
+            m = A + c
+            out.append(
+                xp.stack([m >> np.int64(_LIMB), m & m24, Bp & m24], axis=-1)
+            )
+        else:
+            ah = hi[..., k:] if k else hi
+            al = lo[..., k:] if k else lo
+            bh = hi[..., : B - k] if k else hi
+            bl = lo[..., : B - k] if k else lo
+            hh = (ah * bh).sum(axis=-1)
+            hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
+            ll = (al * bl).sum(axis=-1)
+            qll = ll >> np.int64(_LIMB)
+            rll = ll & m24
+            hl2 = hl + qll
+            qhl = hl2 >> np.int64(_LIMB)
+            rhl = hl2 & m24
+            out.append(xp.stack([hh + qhl, rhl, rll], axis=-1))
+    return xp.stack(out, axis=-2)
+
+
+def lag_sums(planes: jnp.ndarray, order: int, sample_size=None) -> jnp.ndarray:
     """Exact integer windowed autocorrelation limb sums on device.
 
     ``planes`` int [..., B] -> [..., order+1, 3] int64 where lag k's exact
     value is ``l0·2^48 + l1·2^24 + l2`` (a ~96-bit integer carried as
     three normalized partials). Bit-identical to ``lag_sums_np`` on any
-    backend.
-    """
-    B = planes.shape[-1]
-    wq = jnp.asarray(tukey_q15(B))
-    x = planes.astype(jnp.int64) * wq
-    hi = x >> _LIMB
-    lo = x & ((1 << _LIMB) - 1)
-    out = []
-    for k in range(order + 1):
-        ah = hi[..., k:] if k else hi
-        al = lo[..., k:] if k else lo
-        bh = hi[..., : B - k] if k else hi
-        bl = lo[..., : B - k] if k else lo
-        hh = (ah * bh).sum(axis=-1)
-        hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
-        ll = (al * bl).sum(axis=-1)
-        out.append(jnp.stack(_normalize_limbs_jnp(hh, hl, ll), axis=-1))
-    return jnp.stack(out, axis=-2)
+    backend and at any tier (see _lag_tier; pass ``sample_size`` to let
+    shallow depths use 1-2 products per lag instead of 4 — measured 6.1 ms
+    of the 11.4 ms LPC-mode delta at 16-bit before tiering)."""
+    return _lag_sums_impl(planes, order, sample_size, jnp)
 
 
-def lag_sums_np(planes: np.ndarray, order: int) -> np.ndarray:
+def lag_sums_np(planes: np.ndarray, order: int, sample_size=None) -> np.ndarray:
     """numpy mirror of ``lag_sums`` (golden path) — same exact integers,
     same limb normalization (so fixed_point_levinson sees byte-identical
     integer inputs from either backend)."""
-    B = planes.shape[-1]
-    x = planes.astype(np.int64) * tukey_q15(B)
-    hi = x >> _LIMB
-    lo = x & ((1 << _LIMB) - 1)
-    m24 = np.int64((1 << _LIMB) - 1)
-    out = []
-    for k in range(order + 1):
-        ah, al = (hi[..., k:], lo[..., k:]) if k else (hi, lo)
-        bh, bl = (hi[..., : B - k], lo[..., : B - k]) if k else (hi, lo)
-        hh = (ah * bh).sum(axis=-1)
-        hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
-        ll = (al * bl).sum(axis=-1)
-        qll = ll >> _LIMB
-        rll = ll & m24
-        hl2 = hl + qll
-        qhl = hl2 >> _LIMB
-        rhl = hl2 & m24
-        out.append(np.stack([hh + qhl, rhl, rll], axis=-1))
-    return np.stack(out, axis=-2)
+    return _lag_sums_impl(planes, order, sample_size, np)
 
 
 _Q = 28  # Levinson fixed-point fraction bits
@@ -338,7 +371,9 @@ def lpc_candidate_orders(lpc_order: int):
     return tuple(sorted(cands))
 
 
-def analyze_lpc_np(planes: np.ndarray, lpc_order: int, precision: int):
+def analyze_lpc_np(
+    planes: np.ndarray, lpc_order: int, precision: int, sample_size=None
+):
     """Full host LPC analysis (golden path): numpy lag sums, the SAME
     integer Q28 Levinson + err-based candidate selection the device
     program runs (bit-identical by construction), and numpy residuals for
@@ -346,7 +381,7 @@ def analyze_lpc_np(planes: np.ndarray, lpc_order: int, precision: int):
     [..., B], qcoeffs i32 [..., 32], shift, ok)."""
     B = planes.shape[-1]
     orders = lpc_candidate_orders(lpc_order)
-    lags = lag_sums_np(planes, lpc_order)
+    lags = lag_sums_np(planes, lpc_order, sample_size)
     pre = fixed_point_levinson(lags, orders, precision, np)
     order, qc, shift, ok = select_lpc_candidate(pre, B, precision, np)
     res, fits = lpc_residuals(planes, qc, shift, order, lpc_order, np)
