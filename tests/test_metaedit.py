@@ -1,0 +1,201 @@
+"""In-place metadata editing (metaflac parity; framework extension —
+the reference only writes metadata at encode time, libFLAC/metadata.zig).
+
+Every edit is validated three ways: the decoder re-parses the chain, the
+frames region is proven byte-untouched, and verify_flac (frame CRCs +
+STREAMINFO MD5) still passes — an edit can only ever touch the head."""
+
+import io
+
+import numpy as np
+import pytest
+
+from zigflac_tpu.decoder import metadata_blocks, parse_vorbis_body
+from zigflac_tpu.metadata import BlockType
+from zigflac_tpu.metaedit import (
+    MetaEditError,
+    edit_metadata_bytes,
+    edit_metadata_file,
+    export_pictures,
+)
+from zigflac_tpu.models.encoder import encode_wav_bytes
+from zigflac_tpu.wav import write_wav
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n" + b"fakepng-payload" * 20
+
+
+def _wav_bytes(seconds=0.3, rate=44100, seed=11):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * rate))
+    x = 6000 * np.sin(2 * np.pi * 330 * t / rate) + rng.normal(0, 70, (2, t.size))
+    buf = io.BytesIO()
+    write_wav(buf, np.clip(np.round(x), -32768, 32767).astype(np.int32), rate, 16)
+    return buf.getvalue()
+
+
+def _frames(data: bytes) -> bytes:
+    pos = 4
+    for _btype, body in metadata_blocks(data):
+        pos += 4 + len(body)
+    return data[pos:]
+
+
+def _tags(data: bytes):
+    for btype, body in metadata_blocks(data):
+        if btype == BlockType.VorbisComment:
+            return parse_vorbis_body(body)[1]
+    return []
+
+
+def _chain_types(data: bytes):
+    return [btype for btype, _ in metadata_blocks(data)]
+
+
+@pytest.fixture(scope="module")
+def flac():
+    return encode_wav_bytes(
+        _wav_bytes(), backend="golden",
+        tags=[("TITLE", "orig"), ("ARTIST", "someone")], padding=256,
+    )
+
+
+def test_add_and_remove_tags_bytes(flac):
+    out, plan = edit_metadata_bytes(
+        flac, add_tags=[("ALBUM", "new"), ("TITLE", "second")],
+        remove_tags=["artist"],
+    )
+    assert plan.tags_added == 2 and plan.tags_removed == 1
+    assert _tags(out) == ["TITLE=orig", "ALBUM=new", "TITLE=second"]
+    assert _frames(out) == _frames(flac)
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(out)
+
+
+def test_edit_preserves_vendor_and_order(flac):
+    out, _ = edit_metadata_bytes(flac, add_tags=[("X", "1")])
+    for btype, body in metadata_blocks(out):
+        if btype == BlockType.VorbisComment:
+            vendor, _ = parse_vorbis_body(body)
+            break
+    orig_vendor = None
+    for btype, body in metadata_blocks(flac):
+        if btype == BlockType.VorbisComment:
+            orig_vendor = parse_vorbis_body(body)[0]
+    assert vendor == orig_vendor
+    # VC keeps its slot (right after STREAMINFO), padding stays last
+    types = _chain_types(out)
+    assert types[0] == BlockType.StreamInfo
+    assert types[1] == BlockType.VorbisComment
+    assert types[-1] == BlockType.Padding
+
+
+def test_in_place_uses_padding_slack(tmp_path, flac):
+    p = tmp_path / "a.flac"
+    p.write_bytes(flac)
+    plan = edit_metadata_file(str(p), add_tags=[("COMMENT", "hi" * 20)])
+    assert plan.in_place  # grew into the 256-byte padding
+    data = p.read_bytes()
+    # total head span unchanged: frames start where they used to
+    assert _frames(data) == _frames(flac)
+    assert "COMMENT=" + "hi" * 20 in _tags(data)
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(data)
+
+
+def test_rewrite_when_chain_outgrows_padding(tmp_path, flac):
+    p = tmp_path / "b.flac"
+    p.write_bytes(flac)
+    big = "x" * 2048  # larger than the 256-byte padding slack
+    plan = edit_metadata_file(str(p), add_tags=[("LYRICS", big)])
+    assert not plan.in_place
+    data = p.read_bytes()
+    assert f"LYRICS={big}" in _tags(data)
+    assert _frames(data) == _frames(flac)
+    # the old padding allotment is preserved across the rewrite
+    assert plan.padding == 256
+
+
+def test_picture_roundtrip(tmp_path, flac):
+    p = tmp_path / "c.flac"
+    p.write_bytes(flac)
+    edit_metadata_file(str(p), picture=(PNG_SIG, "image/png"))
+    data = p.read_bytes()
+    pics = export_pictures(data)
+    assert pics == [("image/png", PNG_SIG)]
+    plan = edit_metadata_file(str(p), remove_pictures=True)
+    assert plan.pictures_removed == 1
+    assert export_pictures(p.read_bytes()) == []
+    assert _frames(p.read_bytes()) == _frames(flac)
+
+
+def test_explicit_padding_resize(tmp_path, flac):
+    p = tmp_path / "d.flac"
+    p.write_bytes(flac)
+    plan = edit_metadata_file(str(p), padding=4096)
+    assert plan.padding == 4096 and not plan.in_place
+    pad = [len(b) for t, b in metadata_blocks(p.read_bytes())
+           if t == BlockType.Padding]
+    assert pad == [4096]
+    # shrinking back to the same chain size edits in place
+    plan2 = edit_metadata_file(str(p), add_tags=[("A", "b")])
+    assert plan2.in_place
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(p.read_bytes())
+
+
+def test_no_vc_block_created_on_demand():
+    bare = encode_wav_bytes(_wav_bytes(seed=7), backend="golden")
+    # encoder always writes a VC block; strip it to simulate foreign files
+    blocks = list(metadata_blocks(bare))
+    from zigflac_tpu.metaedit import _serialize_chain
+
+    stripped = b"fLaC" + _serialize_chain(
+        [(t, b) for t, b in blocks if t != BlockType.VorbisComment]
+    ) + _frames(bare)
+    out, plan = edit_metadata_bytes(stripped, add_tags=[("TITLE", "t")])
+    assert plan.tags_added == 1
+    assert _tags(out) == ["TITLE=t"]
+    types = _chain_types(out)
+    assert types[0] == BlockType.StreamInfo
+    assert types[1] == BlockType.VorbisComment
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(out)
+
+
+def test_ogg_rejected(tmp_path):
+    from zigflac_tpu.ogg import flac_to_ogg
+
+    flac = encode_wav_bytes(_wav_bytes(seed=3), backend="golden")
+    buf = io.BytesIO()
+    flac_to_ogg(flac, buf)
+    with pytest.raises(MetaEditError):
+        edit_metadata_bytes(buf.getvalue(), add_tags=[("A", "b")])
+
+
+def test_cli_edit_flow(tmp_path):
+    from zigflac_tpu.cli import main
+
+    wav = tmp_path / "in.wav"
+    wav.write_bytes(_wav_bytes(seed=9))
+    out = tmp_path / "out.flac"
+    img = tmp_path / "cover.png"
+    img.write_bytes(PNG_SIG)
+    assert main([str(wav), str(out), "--backend", "golden",
+                 "--tag", "TITLE=first", "--padding", "512"]) == 0
+    assert main([str(out), "--edit", "--tag", "ALBUM=a",
+                 "--remove-tag", "TITLE", "--picture", str(img)]) == 0
+    data = out.read_bytes()
+    assert _tags(data) == ["ALBUM=a"]
+    assert export_pictures(data) == [("image/png", PNG_SIG)]
+    exported = tmp_path / "cover_out.png"
+    assert main([str(out), "--edit", "--export-picture", str(exported)]) == 0
+    assert exported.read_bytes() == PNG_SIG
+    # --edit with an output path is an error
+    assert main([str(out), str(tmp_path / "x.flac"), "--edit"]) == 1
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(data)

@@ -55,6 +55,29 @@ def build_parser() -> argparse.ArgumentParser:
         "malformed, 3 verification failure",
     )
     p.add_argument(
+        "-e", "--edit", action="store_true",
+        help="edit the metadata of an existing FLAC file in place "
+        "(metaflac-style; uses --tag/--remove-tag/--picture/"
+        "--remove-pictures/--export-picture/--padding; reuses PADDING "
+        "slack so the audio frames are not rewritten when the new chain "
+        "fits)",
+    )
+    p.add_argument(
+        "--remove-tag", action="append", default=[], metavar="NAME",
+        dest="remove_tags",
+        help="with --edit: remove every Vorbis comment with this field "
+        "name (case-insensitive, repeatable)",
+    )
+    p.add_argument(
+        "--remove-pictures", action="store_true",
+        help="with --edit: drop all PICTURE blocks",
+    )
+    p.add_argument(
+        "--export-picture", metavar="OUT", default=None,
+        help="with --edit: write the first embedded picture's image "
+        "bytes to OUT (no other change unless combined with edit flags)",
+    )
+    p.add_argument(
         "--batch", action="store_true",
         help="encode every .wav in the input directory into the output "
         "directory, frames of all files fused into shared device batches",
@@ -87,8 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="write a SEEKTABLE with a point at most every SECONDS",
     )
     p.add_argument(
-        "--padding", type=int, default=0, metavar="BYTES",
-        help="append a PADDING metadata block of BYTES zero bytes",
+        "--padding", type=int, default=None, metavar="BYTES",
+        help="append a PADDING metadata block of BYTES zero bytes "
+        "(with --edit: set the padding to exactly BYTES, forcing a "
+        "rewrite if it changes the chain size)",
     )
     p.add_argument(
         "--picture", metavar="IMAGE", default=None,
@@ -387,6 +412,80 @@ def _test_main(args) -> int:
     return 0
 
 
+def _edit_main(args) -> int:
+    """--edit: metaflac-style in-place metadata editing of an existing
+    FLAC file (the reference only writes metadata at encode time,
+    libFLAC/metadata.zig; re-tagging finished files is the other half of
+    that surface)."""
+    from .metaedit import (
+        MetaEditError,
+        edit_metadata_file,
+        export_pictures,
+    )
+
+    if args.output is not None:
+        print("error: --edit works in place; no output path", file=sys.stderr)
+        return 1
+    tags = []
+    for t in args.tag:
+        if "=" not in t:
+            print(f"error: --tag expects NAME=VALUE, got {t!r}",
+                  file=sys.stderr)
+            return 1
+        tags.append(tuple(t.split("=", 1)))
+    picture = None
+    if args.picture:
+        with open(args.picture, "rb") as imf:
+            img = imf.read()
+        mime = (
+            "image/png" if img[:8] == b"\x89PNG\r\n\x1a\n" else "image/jpeg"
+        )
+        picture = (img, mime)
+
+    try:
+        if args.export_picture:
+            with open(args.input, "rb") as f:
+                pics = export_pictures(f.read())
+            if not pics:
+                print("error: no PICTURE block in stream", file=sys.stderr)
+                return 1
+            mime, image = pics[0]
+            with open(args.export_picture, "wb") as out:
+                out.write(image)
+            print(f"exported {len(image)} bytes ({mime}) "
+                  f"to {args.export_picture}")
+            if not (tags or args.remove_tags or picture
+                    or args.remove_pictures or args.padding is not None):
+                return 0
+        plan = edit_metadata_file(
+            args.input,
+            add_tags=tags,
+            remove_tags=args.remove_tags,
+            picture=picture,
+            remove_pictures=args.remove_pictures,
+            padding=args.padding,
+        )
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except MetaEditError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    changes = []
+    if plan.tags_added:
+        changes.append(f"+{plan.tags_added} tag(s)")
+    if plan.tags_removed:
+        changes.append(f"-{plan.tags_removed} tag(s)")
+    if plan.picture_added:
+        changes.append("+picture")
+    if plan.pictures_removed:
+        changes.append(f"-{plan.pictures_removed} picture(s)")
+    how = "in place" if plan.in_place else "rewritten"
+    print(f"{args.input}: {', '.join(changes) or 'no change'} "
+          f"({how}, padding {plan.padding})")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -395,8 +494,12 @@ def main(argv=None) -> int:
         return _list_main(args)
     if args.test:
         return _test_main(args)
+    if args.edit:
+        return _edit_main(args)
     if args.output is None:
-        parser.error("output path required (omit it only with --list/--test)")
+        parser.error(
+            "output path required (omit it only with --list/--test/--edit)"
+        )
 
     if args.decode:
         return _decode_main(args)
@@ -477,7 +580,7 @@ def main(argv=None) -> int:
         encode_file(
             args.input, args.output, config=cfg, backend=args.backend,
             tags=tags or None, seek_interval=seek_interval,
-            padding=args.padding, extra_metadata=extra, ogg=want_ogg,
+            padding=args.padding or 0, extra_metadata=extra, ogg=want_ogg,
         )
         dt = time.perf_counter() - t0
         if profiler is not None:
