@@ -103,7 +103,9 @@ def test_lag_sums_tiers_identical_at_extremes(rng):
 
     from zigflac_tpu.ops.lpc import _lag_tier, lag_sums, lag_sums_np
 
-    for ss, B in [(8, 4096), (12, 4096), (16, 4096), (16, 8192), (20, 4096)]:
+    # 17 pins tier 1's non-narrow branch (x stays i64, y halves i32)
+    for ss, B in [(8, 4096), (12, 4096), (16, 4096), (16, 8192), (17, 4096),
+                  (20, 4096)]:
         lim = 1 << ss  # side-plane magnitude: sample_size+1 signed bits
         planes = rng.integers(-lim, lim, size=(3, B), dtype=np.int64)
         planes[0, :] = -lim  # constant full-scale: maximal correlation

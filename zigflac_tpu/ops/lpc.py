@@ -98,17 +98,31 @@ def _lag_sums_impl(planes, order: int, sample_size, xp):
     x = planes.astype(xp.int64) * tukey_q15(B)
     m24 = np.int64((1 << _LIMB) - 1)
     tier = _lag_tier(sample_size, B)
+    # Narrow operand storage: the product-reduces are HBM-bound (the i64
+    # windowed signal is re-streamed once per product per lag), and on TPU
+    # an i64 tensor is an emulated limb PAIR — double the traffic. Every
+    # operand whose magnitude proof fits i32 is stored i32 and widened
+    # back to i64 inside the product (the cast is exact and fuses into the
+    # reduce): tier 0 always (|xw| <= 2^25), tier 1's x iff
+    # sample_size+15 <= 31, tier 1's y>>16 always (<= 2^17 under the tier
+    # gate), tier 2's 24-bit limbs always (hi <= 2^23 since |xw| < 2^47).
+    narrow = sample_size is not None and sample_size + 15 <= 31
     if tier == 2:
-        hi = x >> np.int64(_LIMB)
-        lo = x & m24
+        hi = (x >> np.int64(_LIMB)).astype(xp.int32)
+        lo = (x & m24).astype(xp.int32)
     elif tier == 1:
-        yh = x >> np.int64(16)
-        yl = x & np.int64(0xFFFF)
+        yh = (x >> np.int64(16)).astype(xp.int32)
+        yl = (x & np.int64(0xFFFF)).astype(xp.int32)
+        if narrow:
+            x = x.astype(xp.int32)
+    else:
+        x = x.astype(xp.int32)
     out = []
     for k in range(order + 1):
         if tier == 0:
-            s = (x[..., k:] * x[..., : B - k]) if k else (x * x)
-            s = s.sum(axis=-1)
+            a = x[..., k:] if k else x
+            b = x[..., : B - k] if k else x
+            s = (a.astype(xp.int64) * b).sum(axis=-1)
             c = s >> np.int64(_LIMB)
             out.append(
                 xp.stack([c >> np.int64(_LIMB), c & m24, s & m24], axis=-1)
@@ -117,8 +131,8 @@ def _lag_sums_impl(planes, order: int, sample_size, xp):
             a = x[..., k:] if k else x
             bh = yh[..., : B - k] if k else yh
             bl = yl[..., : B - k] if k else yl
-            s_h = (a * bh).sum(axis=-1)
-            s_l = (a * bl).sum(axis=-1)
+            s_h = (a.astype(xp.int64) * bh).sum(axis=-1)
+            s_l = (a.astype(xp.int64) * bl).sum(axis=-1)
             # value = s_h*2^16 + s_l = A*2^24 + Bp, exactly (floor
             # semantics throughout: two's-complement >> and & are the
             # floor decomposition)
@@ -134,9 +148,10 @@ def _lag_sums_impl(planes, order: int, sample_size, xp):
             al = lo[..., k:] if k else lo
             bh = hi[..., : B - k] if k else hi
             bl = lo[..., : B - k] if k else lo
-            hh = (ah * bh).sum(axis=-1)
-            hl = (ah * bl).sum(axis=-1) + (al * bh).sum(axis=-1)
-            ll = (al * bl).sum(axis=-1)
+            ah64, al64 = ah.astype(xp.int64), al.astype(xp.int64)
+            hh = (ah64 * bh).sum(axis=-1)
+            hl = (ah64 * bl).sum(axis=-1) + (al64 * bh).sum(axis=-1)
+            ll = (al64 * bl).sum(axis=-1)
             qll = ll >> np.int64(_LIMB)
             rll = ll & m24
             hl2 = hl + qll
