@@ -351,17 +351,25 @@ def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp):
     One implementation for both backends (exact integers either way).
     Returns (residuals i32 [..., B], fits_i32 bool)."""
     B = planes.shape[-1]
-    s = planes.astype(xp.int64)
-    pred = xp.zeros_like(s)
+    # taps stream the signal at its NATIVE width (i32 except 33-bit depth-32
+    # side planes) and widen inside the fused multiply-accumulate — an i64
+    # signal copy would double the HBM traffic of all max_order+1 passes
+    # (same narrow-storage rule as the lag sums; the accumulator itself
+    # must be i64: |q*s| <= 2^(14+33)).
+    pred = xp.zeros(planes.shape, dtype=xp.int64)
     for j in range(max_order):
         if xp is np:
-            sh = np.zeros_like(s)
-            sh[..., j + 1 :] = s[..., : B - j - 1]
+            sh = np.zeros_like(planes)
+            sh[..., j + 1 :] = planes[..., : B - j - 1]
         else:
-            sh = xp.pad(s, [(0, 0)] * (s.ndim - 1) + [(j + 1, 0)])[..., :B]
-        pred = pred + qcoeffs[..., j : j + 1].astype(xp.int64) * sh
+            sh = xp.pad(planes, [(0, 0)] * (planes.ndim - 1) + [(j + 1, 0)])[
+                ..., :B
+            ]
+        pred = pred + qcoeffs[..., j : j + 1].astype(xp.int64) * sh.astype(
+            xp.int64
+        )
     pred = pred >> shift[..., None].astype(xp.int64)
-    res = s - pred
+    res = planes.astype(xp.int64) - pred
     if xp is np:
         idx = np.arange(B, dtype=np.int32)
         idx = np.broadcast_to(idx, planes.shape)
