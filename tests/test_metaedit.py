@@ -199,3 +199,68 @@ def test_cli_edit_flow(tmp_path):
     from zigflac_tpu.decoder import verify_flac
 
     assert verify_flac(data)
+
+
+def test_truncated_chain_typed_error():
+    """A chain whose last block lacks the last-flag runs off the end of
+    the data; the walker must raise the typed FlacDecodeError (and the
+    editor MetaEditError), never a raw IndexError (advisor r3)."""
+    flac = encode_wav_bytes(_wav_bytes(seed=21), backend="golden")
+    blocks = list(metadata_blocks(flac))
+    # rebuild with no last-flag anywhere
+    chain = bytearray()
+    for btype, body in blocks:
+        chain.append(int(btype))  # last-flag bit clear
+        chain += len(body).to_bytes(3, "big")
+        chain += body
+    bad = b"fLaC" + bytes(chain)  # no frames: walker runs off the end
+    from zigflac_tpu.decoder import FlacDecodeError
+
+    with pytest.raises(FlacDecodeError):
+        list(metadata_blocks(bad))
+    with pytest.raises(MetaEditError):
+        edit_metadata_bytes(bad, add_tags=[("A", "b")])
+
+
+def test_oversized_block_bodies_typed_errors():
+    """24-bit block-length overflow raises typed errors, not
+    OverflowError (advisor r3): picture_block on encode, the chain
+    serializer on edit."""
+    from zigflac_tpu.metadata import picture_block
+    from zigflac_tpu.metaedit import _serialize_chain
+
+    big = bytes(1 << 24)  # body will exceed 2^24-1 with headers
+    with pytest.raises(ValueError, match="too large"):
+        picture_block(big, "image/png", False)
+    with pytest.raises(MetaEditError, match="too large"):
+        _serialize_chain([(int(BlockType.Picture), big)])
+
+
+def test_cue_sheet_strict_increase():
+    """Non-increasing INDEX offsets (within or across tracks) and
+    non-increasing index numbers are spec-invalid (advisor r3)."""
+    from zigflac_tpu.metadata import parse_cue_sheet
+
+    # valid: two tracks, increasing everywhere
+    parse_cue_sheet(
+        "TRACK 01 AUDIO\nINDEX 01 00:00:00\nINDEX 02 00:30:00\n"
+        "TRACK 02 AUDIO\nINDEX 01 01:00:00\n", 44100, 44100 * 120)
+    # regressing offset within a track
+    with pytest.raises(ValueError, match="strictly increase"):
+        parse_cue_sheet(
+            "TRACK 01 AUDIO\nINDEX 01 00:30:00\nINDEX 02 01:00:00\n"
+            "INDEX 03 00:45:00\n", 44100, 44100 * 120)
+    # duplicate index number within a track
+    with pytest.raises(ValueError, match="INDEX numbers"):
+        parse_cue_sheet(
+            "TRACK 01 AUDIO\nINDEX 01 00:00:00\nINDEX 01 00:30:00\n",
+            44100, 44100 * 120)
+    # track offsets must increase across tracks too
+    with pytest.raises(ValueError, match="strictly increase"):
+        parse_cue_sheet(
+            "TRACK 01 AUDIO\nINDEX 01 01:00:00\n"
+            "TRACK 02 AUDIO\nINDEX 01 00:30:00\n", 44100, 44100 * 120)
+    # index numbers reset per track (01 after track change is fine)
+    parse_cue_sheet(
+        "TRACK 01 AUDIO\nINDEX 01 00:00:00\nINDEX 02 00:10:00\n"
+        "TRACK 02 AUDIO\nINDEX 01 00:20:00\n", 44100, 44100 * 60)

@@ -154,6 +154,10 @@ def metadata_blocks(data):
         raise FlacDecodeError("bad signature")
     pos = 4
     while True:
+        if pos + 4 > len(data):
+            # a chain whose last block lacks the last-flag runs off the
+            # end — typed error, not IndexError (--edit exit-2 contract)
+            raise FlacDecodeError("truncated metadata chain")
         hdr = data[pos]
         length = int.from_bytes(data[pos + 1 : pos + 4], "big")
         body = bytes(data[pos + 4 : pos + 4 + length])

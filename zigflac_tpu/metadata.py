@@ -177,6 +177,11 @@ def picture_block(
         + colors.to_bytes(4, "big")
         + len(image_data).to_bytes(4, "big") + image_data
     )
+    if len(body) > U24_MAX:
+        raise ValueError(
+            f"picture too large for a metadata block "
+            f"({len(body)} > {U24_MAX} bytes)"
+        )
     return (
         bytes([block_header_byte(BlockType.Picture, is_last)])
         + len(body).to_bytes(3, "big")
@@ -234,6 +239,8 @@ def parse_cue_sheet(
     catalog = ""
     tracks: list = []  # mutable [offset, number, isrc, is_audio, points]
     cur = None
+    prev_abs = -1  # last absolute index offset, across ALL tracks
+    prev_pnum = -1  # last index number within the current track
     for raw in text.splitlines():
         parts = raw.strip().split()
         if not parts:
@@ -250,6 +257,7 @@ def parse_cue_sheet(
                 raise ValueError(f"TRACK number out of range: {num}")
             cur = [0, num, "", parts[2].upper() == "AUDIO", []]
             tracks.append(cur)
+            prev_pnum = -1
         elif kw == "ISRC" and cur is not None and len(parts) > 1:
             cur[2] = parts[1]
         elif kw == "INDEX" and len(parts) >= 3:
@@ -265,10 +273,24 @@ def parse_cue_sheet(
             if mm < 0 or not 0 <= ss < 60 or not 0 <= ff < 75:
                 raise ValueError(f"bad INDEX timestamp: {parts[2]}")
             off = (mm * 60 + ss) * sample_rate + ff * sample_rate // 75
+            # the FLAC spec requires strictly increasing index offsets
+            # within a track AND strictly increasing track offsets; a
+            # single global strict-increase over absolute offsets covers
+            # both (track offset = its first index point)
+            if off <= prev_abs:
+                raise ValueError(
+                    f"INDEX offsets must strictly increase "
+                    f"(got {parts[2]} after an equal-or-later point)"
+                )
+            if pnum <= prev_pnum:
+                raise ValueError(
+                    f"INDEX numbers must strictly increase within a "
+                    f"track (got {pnum} after {prev_pnum})"
+                )
+            prev_abs = off
+            prev_pnum = pnum
             if not cur[4]:
                 cur[0] = off  # track offset = first index point
-            if off < cur[0]:
-                raise ValueError("INDEX offsets must be non-decreasing")
             cur[4].append((off - cur[0], pnum))
     if not tracks:
         raise ValueError("cue sheet has no TRACK entries")

@@ -63,6 +63,11 @@ def _parse_chain(data) -> Tuple[List[Tuple[int, bytes]], int]:
 def _serialize_chain(blocks: List[Tuple[int, bytes]]) -> bytes:
     out = bytearray()
     for i, (btype, body) in enumerate(blocks):
+        if len(body) > 0xFFFFFF:
+            raise MetaEditError(
+                f"{BlockType(btype).name} block body too large for a "
+                f"24-bit length ({len(body)} > {0xFFFFFF} bytes)"
+            )
         last = i == len(blocks) - 1
         out.append(block_header_byte(BlockType(btype), last))
         out += len(body).to_bytes(3, "big")
