@@ -339,8 +339,9 @@ static PyObject* py_deinterleave(PyObject*, PyObject* args) {
       uint32_t v = 0;
       const uint8_t* q = s + i * frame;
       for (int b = 0; b < nb; b++) v |= ((uint32_t)q[b]) << (8 * (4 - nb + b));
-      int32_t x = (int32_t)v;
-      x -= sub;
+      // subtract in u32: v can be INT32_MIN-justified (byte 0x80), where a
+      // signed subtract overflows (UB); the wrap IS the reference semantics
+      int32_t x = (int32_t)(v - (uint32_t)sub);
       if (depth != 32) x >>= shift;
       d[i] = x;
     }

@@ -492,16 +492,13 @@ def _verify_md5(samples: np.ndarray, info: StreamInfo) -> bool:
     """Re-derive the raw little-endian PCM byte stream and compare its MD5
     with STREAMINFO's (which the encoder computed over the raw WAV bytes,
     src/WavReader.zig:69). Uses the same serialization helper as the encoder
-    (wav.reconstruct_raw_bytes), covering byte-aligned AND 12/20-bit depths
-    (left-justified container stride). Depths below 8 bits cannot be
-    serialized here — those report a verification FAILURE rather than a
-    silent pass."""
+    (wav.reconstruct_raw_bytes), covering every 4-32-bit depth (sub-byte
+    and non-byte-aligned depths use the left-justified container stride
+    with the 1-byte read-quirk inverse)."""
     from .wav import reconstruct_raw_bytes
 
     if info.md5 == b"\x00" * 16:
         return True
-    if info.bit_depth < 8:
-        return False  # cannot verify: do not claim ok
     raw = reconstruct_raw_bytes(samples, info.bit_depth)
     return hashlib.md5(raw).digest() == info.md5
 
@@ -594,15 +591,18 @@ def decode_file(
                             pcm = pcm[: len(pcm) - cut]
                             total = info.interchannel_samples
                         out.write(pcm)
-                        if md5 is not None and info.bit_depth >= 8:
+                        if md5 is not None:
                             if nb == 1:
-                                # 1-byte container: MD5 covers byte-1 (the
-                                # reference read quirk), the WAV container
-                                # is byte+128 -> rebias by -127
+                                # 1-byte container: MD5 covers the quirk
+                                # inverse (value+1 left-justified,
+                                # src/WavReader.zig:74-81); the WAV
+                                # container byte is value<<pad + 128, so
+                                # rebias by (1<<pad) - 128 (mod 256)
+                                pad = 8 - info.bit_depth
                                 md5.update(
                                     (
                                         np.frombuffer(pcm, np.uint8)
-                                        - np.uint8(127)
+                                        + np.uint8(((1 << pad) - 128) & 0xFF)
                                     ).tobytes()
                                 )
                             else:
@@ -627,7 +627,7 @@ def decode_file(
                         ]
                         total = info.interchannel_samples
                     out.write(wav_pcm_bytes(samples, info.bit_depth))
-                    if md5 is not None and info.bit_depth >= 8:
+                    if md5 is not None:
                         md5.update(
                             reconstruct_raw_bytes(samples, info.bit_depth)
                         )
@@ -637,13 +637,6 @@ def decode_file(
                     f"{info.interchannel_samples}"
                 )
             if md5 is not None and info.md5 != b"\x00" * 16:
-                if info.bit_depth < 8:
-                    # sub-byte depths cannot be re-serialized to the raw
-                    # container bytes the MD5 covers — report unsupported,
-                    # not a (false) mismatch
-                    raise FlacDecodeError(
-                        "cannot verify MD5 for bit depth < 8"
-                    )
                 if md5.digest() != info.md5:
                     raise FlacDecodeError("MD5 mismatch")
             return info

@@ -441,11 +441,13 @@ def write_frame_header(
 
     w.write(4, channels_code)
     # 12/20-bit are extensions: the reference hits `unreachable` there
-    # (FrameWriter.zig:207-209); codes per the FLAC spec
-    depth_codes = {0: 0, 8: 2, 12: 4, 16: 8, 20: 10, 24: 12, 32: 14}
-    if bit_depth not in depth_codes:
+    # (FrameWriter.zig:207-209); codes per the FLAC spec. Any other
+    # 4-32-bit depth uses code 0b000 = depth-from-STREAMINFO (spec §9.1.3)
+    # — mirrors ops/header.header_static.
+    if not 0 <= bit_depth <= 32 or bit_depth in (1, 2, 3):
         raise ValueError(f"bit depth {bit_depth} cannot be frame-encoded")
-    w.write(4, depth_codes[bit_depth])
+    depth_codes = {0: 0, 8: 2, 12: 4, 16: 8, 20: 10, 24: 12, 32: 14}
+    w.write(4, depth_codes.get(bit_depth, 0))
 
     # frame number, UTF-8-style (FrameWriter.zig:216-232)
     if frame_number <= 0x7F:

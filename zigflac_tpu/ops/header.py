@@ -76,13 +76,17 @@ def header_static(block_size: int, sample_rate: int, bit_depth: int) -> HeaderSt
         v = (block_size // 10) & 0xFFFF
         sr_tail = [(v >> 8) & 0xFF, v & 0xFF]
 
-    # 12/20-bit are extensions (the reference hits `unreachable`)
-    depth_codes = {8: 2, 12: 4, 16: 8, 20: 10, 24: 12, 32: 14}
-    if bit_depth not in depth_codes:
+    # 12/20-bit are extensions (the reference hits `unreachable`,
+    # libFLAC/FrameWriter.zig:202-214); any other 4-32-bit depth encodes
+    # via frame depth code 0b000 (depth-from-STREAMINFO, FLAC spec §9.1.3)
+    # — the reference merely ACCEPTS those WAVs (src/WavReader.zig:140-143)
+    # and then crashes, so this strictly dominates its envelope.
+    if not 4 <= bit_depth <= 32:
         raise ValueError(f"bit depth {bit_depth} cannot be frame-encoded")
+    depth_codes = {8: 2, 12: 4, 16: 8, 20: 10, 24: 12, 32: 14}
     return HeaderStatic(
         byte2=(bs_code << 4) | rate_code,
-        depth_code=depth_codes[bit_depth],
+        depth_code=depth_codes.get(bit_depth, 0),
         tail_bytes=bs_tail + sr_tail,
     )
 

@@ -128,14 +128,16 @@ def reconstruct_raw_bytes(samples: np.ndarray, bit_depth: int) -> bytes:
     captured) and the decoder's MD5 verification so both sides serialize
     identically.
     """
-    if bit_depth < 8:
-        raise ValueError("cannot reconstruct raw bytes for sub-byte depths")
     nb = (bit_depth + 7) // 8
     inter = samples.T.astype(np.int64)  # [n, c]
+    if nb == 1:
+        # invert the reference 1-byte read quirk (sample = value - 1,
+        # src/WavReader.zig:74-81) BEFORE left-justifying: the subtract
+        # happens on the top-justified value, so its inverse applies to
+        # the d-bit value, not the container byte (exact for 4-8 bit)
+        inter = inter + 1
     if bit_depth % 8:
         inter = inter << (8 * nb - bit_depth)  # left-justify in the container
-    if nb == 1:
-        inter = inter + 1  # invert the reference 8-bit read quirk
     u = (inter & ((1 << (8 * nb)) - 1)).astype(np.uint64)
     b = u[..., None].view(np.uint8).reshape(*u.shape, 8)[:, :, :nb]
     return np.ascontiguousarray(b).tobytes()
@@ -209,16 +211,13 @@ def _parse_header(r) -> tuple:
     data_len = r.take_u32le()
     if block_align == 0 or data_len % block_align != 0:
         raise WavFormatError("InvalidDataLen")
-    if bit_depth // 8 == 0:
-        # reference divides by (bit_depth/8): 4-bit input crashes there
-        # (src/WavReader.zig:170); we reject it cleanly.
-        raise WavFormatError("UnsupportBitDepth")
     if bit_depth % 8 == 0:
         samples_count = data_len // (channels * (bit_depth // 8))
     else:
-        # 12/20-bit extension: the reference's formula miscounts and it
-        # crashes later anyway (FrameWriter.zig:207-209); count by the
-        # real container stride
+        # non-byte-aligned extension (incl. sub-byte, where the reference
+        # divides by bit_depth/8 == 0 and crashes, src/WavReader.zig:170;
+        # 12/20-bit miscount + crash later, FrameWriter.zig:207-209) —
+        # count by the real container stride
         samples_count = data_len // block_align
     return sample_rate, bit_depth, channels, bytes_per_sample, samples_count, data_len
 
