@@ -264,3 +264,147 @@ def test_cue_sheet_strict_increase():
     parse_cue_sheet(
         "TRACK 01 AUDIO\nINDEX 01 00:00:00\nINDEX 02 00:10:00\n"
         "TRACK 02 AUDIO\nINDEX 01 00:20:00\n", 44100, 44100 * 60)
+
+
+def _app_ids(data: bytes):
+    return [bytes(b[:4]) for t, b in metadata_blocks(data)
+            if t == BlockType.Application]
+
+
+def test_application_set_replace_remove():
+    """metaflac --set-application/--remove-application semantics: set
+    appends, set with an existing id replaces IN ITS SLOT, remove drops
+    by id; other blocks and the frames are untouched."""
+    flac = encode_wav_bytes(_wav_bytes(seed=31), backend="golden")
+    out, plan = edit_metadata_bytes(
+        flac, set_applications=[(b"aTst", b"payload-1"),
+                                (b"bTst", b"other")])
+    assert plan.applications_set == 2
+    assert _app_ids(out) == [b"aTst", b"bTst"]
+    assert _frames(out) == _frames(flac)
+    # replace keeps slot order
+    out2, plan2 = edit_metadata_bytes(
+        out, set_applications=[(b"aTst", b"payload-2-longer")])
+    assert plan2.applications_set == 1
+    assert _app_ids(out2) == [b"aTst", b"bTst"]
+    bodies = {bytes(b[:4]): bytes(b[4:]) for t, b in metadata_blocks(out2)
+              if t == BlockType.Application}
+    assert bodies[b"aTst"] == b"payload-2-longer"
+    assert bodies[b"bTst"] == b"other"
+    # remove by id
+    out3, plan3 = edit_metadata_bytes(
+        out2, remove_applications=[b"aTst"])
+    assert plan3.applications_removed == 1
+    assert _app_ids(out3) == [b"bTst"]
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(out3)
+    # malformed ids are typed errors
+    with pytest.raises(MetaEditError):
+        edit_metadata_bytes(flac, set_applications=[(b"toolong", b"")])
+    with pytest.raises(MetaEditError):
+        edit_metadata_bytes(flac, remove_applications=[b"x"])
+
+
+def test_cuesheet_import_and_remove():
+    """--edit --cuesheet imports a .cue against the file's own STREAMINFO;
+    a second import REPLACES the block in its slot; --remove-cuesheet
+    drops it."""
+    flac = encode_wav_bytes(_wav_bytes(seconds=1.2, seed=33),
+                            backend="golden")
+    cue = ("CATALOG 1234567890123\n"
+           "TRACK 01 AUDIO\nINDEX 01 00:00:00\n"
+           "TRACK 02 AUDIO\nINDEX 01 00:00:50\n")
+    out, plan = edit_metadata_bytes(flac, cuesheet=cue)
+    assert plan.cuesheet_set and not plan.cuesheet_removed
+    cues = [b for t, b in metadata_blocks(out) if t == BlockType.CueSheet]
+    assert len(cues) == 1 and cues[0][395] == 3  # 2 tracks + lead-out
+    # replace: one block, new content
+    cue2 = "TRACK 01 AUDIO\nINDEX 01 00:00:00\n"
+    out2, plan2 = edit_metadata_bytes(out, cuesheet=cue2)
+    cues2 = [b for t, b in metadata_blocks(out2)
+             if t == BlockType.CueSheet]
+    assert plan2.cuesheet_set and len(cues2) == 1 and cues2[0][395] == 2
+    # matches the encode-time builder byte-for-byte (derive rate/total
+    # from STREAMINFO like the editor does)
+    from zigflac_tpu.metadata import parse_cue_sheet
+    from zigflac_tpu.metaedit import _streaminfo_fields
+
+    rate, total = _streaminfo_fields(list(metadata_blocks(flac)))
+    assert cues2[0] == parse_cue_sheet(cue2, rate, total)[4:]
+    out3, plan3 = edit_metadata_bytes(out2, remove_cuesheet=True)
+    assert plan3.cuesheet_removed
+    assert not [1 for t, _ in metadata_blocks(out3)
+                if t == BlockType.CueSheet]
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(out3)
+    # malformed sheets are typed errors
+    with pytest.raises(MetaEditError):
+        edit_metadata_bytes(flac, cuesheet="TRACK xx AUDIO\n")
+
+
+def test_import_tags_file_parse():
+    from zigflac_tpu.metaedit import parse_tags_file
+
+    assert parse_tags_file("A=1\n\nB=two words\n") == [
+        ("A", "1"), ("B", "two words")]
+    with pytest.raises(MetaEditError):
+        parse_tags_file("A=1\nnot-a-tag\n")
+    with pytest.raises(MetaEditError):
+        parse_tags_file("=value\n")
+
+
+def test_cli_edit_metaflac_long_tail(tmp_path, capsys):
+    """CLI surface: --import-tags-from, --set-application,
+    --remove-application, --cuesheet/--remove-cuesheet with --edit."""
+    from zigflac_tpu.cli import main
+
+    wav = tmp_path / "in.wav"
+    wav.write_bytes(_wav_bytes(seconds=1.2, seed=35))
+    out = tmp_path / "out.flac"
+    assert main([str(wav), str(out), "--backend", "golden",
+                 "--padding", "1024"]) == 0
+    tagf = tmp_path / "tags.txt"
+    tagf.write_text("ALBUM=someday\nTITLE=track one\n")
+    appf = tmp_path / "app.bin"
+    appf.write_bytes(b"\x01\x02\x03opaque")
+    cuef = tmp_path / "x.cue"
+    cuef.write_text("TRACK 01 AUDIO\nINDEX 01 00:00:00\n")
+    assert main([str(out), "--edit",
+                 "--import-tags-from", str(tagf),
+                 "--set-application", f"Ztst={appf}",
+                 "--cuesheet", str(cuef)]) == 0
+    data = out.read_bytes()
+    assert _tags(data) == ["ALBUM=someday", "TITLE=track one"]
+    assert _app_ids(data) == [b"Ztst"]
+    assert [1 for t, _ in metadata_blocks(data) if t == BlockType.CueSheet]
+    # --list shows the application id
+    assert main([str(out), "--list"]) == 0
+    assert "id 'Ztst'" in capsys.readouterr().out
+    assert main([str(out), "--edit", "--remove-application", "Ztst",
+                 "--remove-cuesheet"]) == 0
+    data = out.read_bytes()
+    assert _app_ids(data) == []
+    assert not [1 for t, _ in metadata_blocks(data)
+                if t == BlockType.CueSheet]
+    # malformed inputs exit 1/2 without traceback
+    assert main([str(out), "--edit", "--set-application", "nofile"]) == 1
+    badtags = tmp_path / "bad.txt"
+    badtags.write_text("oops\n")
+    assert main([str(out), "--edit",
+                 "--import-tags-from", str(badtags)]) == 2
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(out.read_bytes())
+
+
+def test_application_block_builder_encode_time():
+    """metadata.application_block feeds extra_metadata at encode time."""
+    from zigflac_tpu.metadata import application_block
+
+    blk = application_block(b"riff", b"\x00\x01", False)
+    assert blk[0] == int(BlockType.Application)
+    assert blk[4:8] == b"riff" and blk[8:] == b"\x00\x01"
+    with pytest.raises(ValueError):
+        application_block(b"abc", b"", False)

@@ -57,10 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-e", "--edit", action="store_true",
         help="edit the metadata of an existing FLAC file in place "
-        "(metaflac-style; uses --tag/--remove-tag/--picture/"
-        "--remove-pictures/--export-picture/--padding; reuses PADDING "
-        "slack so the audio frames are not rewritten when the new chain "
-        "fits)",
+        "(metaflac-style; uses --tag/--remove-tag/--import-tags-from/"
+        "--picture/--remove-pictures/--export-picture/--set-application/"
+        "--remove-application/--cuesheet/--remove-cuesheet/--padding; "
+        "reuses PADDING slack so the audio frames are not rewritten when "
+        "the new chain fits)",
     )
     p.add_argument(
         "--remove-tag", action="append", default=[], metavar="NAME",
@@ -76,6 +77,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--export-picture", metavar="OUT", default=None,
         help="with --edit: write the first embedded picture's image "
         "bytes to OUT (no other change unless combined with edit flags)",
+    )
+    p.add_argument(
+        "--import-tags-from", metavar="FILE", default=None,
+        dest="import_tags_from",
+        help="with --edit: append Vorbis comments read from FILE "
+        "(one NAME=VALUE per line, metaflac format)",
+    )
+    p.add_argument(
+        "--set-application", action="append", default=[],
+        metavar="ID=FILE", dest="set_applications",
+        help="with --edit: set the APPLICATION block with 4-char id ID "
+        "to FILE's bytes, replacing an existing block with that id "
+        "(repeatable)",
+    )
+    p.add_argument(
+        "--remove-application", action="append", default=[],
+        metavar="ID", dest="remove_applications",
+        help="with --edit: drop APPLICATION blocks with this 4-char id "
+        "(repeatable)",
+    )
+    p.add_argument(
+        "--remove-cuesheet", action="store_true",
+        help="with --edit: drop the CUESHEET block",
     )
     p.add_argument(
         "--batch", action="store_true",
@@ -121,7 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--cuesheet", metavar="FILE.cue", default=None,
-        help="import a standard .cue sheet as a CUESHEET metadata block",
+        help="import a standard .cue sheet as a CUESHEET metadata block "
+        "(at encode time, or into an existing file with --edit)",
     )
     p.add_argument(
         "--range", metavar="START:END", default=None, dest="time_range",
@@ -359,6 +384,12 @@ def _list_main(args) -> int:
                     print(f"    vendor: {vendor.decode('utf-8', 'replace')}")
                     for c in comments:
                         print(f"    {c}")
+                elif btype == 2 and len(body) >= 4:
+                    print(
+                        "    id "
+                        f"{body[:4].decode('ascii', 'replace')!r}, "
+                        f"{len(body) - 4} data bytes"
+                    )
                 elif btype == 5 and len(body) >= 396:
                     cat = body[:128].rstrip(b"\x00").decode("ascii", "replace")
                     print(f"    {body[395]} tracks"
@@ -441,6 +472,42 @@ def _edit_main(args) -> int:
             "image/png" if img[:8] == b"\x89PNG\r\n\x1a\n" else "image/jpeg"
         )
         picture = (img, mime)
+    set_apps = []
+    for spec in args.set_applications:
+        if "=" not in spec:
+            print(f"error: --set-application expects ID=FILE, got {spec!r}",
+                  file=sys.stderr)
+            return 1
+        app_id, app_file = spec.split("=", 1)
+        try:
+            with open(app_file, "rb") as af:
+                set_apps.append((app_id.encode("ascii"), af.read()))
+        except (FileNotFoundError, UnicodeEncodeError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    cuesheet_text = None
+    if args.cuesheet:
+        try:
+            with open(args.cuesheet, "r", encoding="utf-8",
+                      errors="replace") as cf:
+                cuesheet_text = cf.read()
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    import_tags = []
+    if args.import_tags_from:
+        from .metaedit import parse_tags_file
+
+        try:
+            with open(args.import_tags_from, "r", encoding="utf-8",
+                      errors="replace") as tf:
+                import_tags = parse_tags_file(tf.read())
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        except MetaEditError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
 
     try:
         if args.export_picture:
@@ -454,16 +521,23 @@ def _edit_main(args) -> int:
                 out.write(image)
             print(f"exported {len(image)} bytes ({mime}) "
                   f"to {args.export_picture}")
-            if not (tags or args.remove_tags or picture
-                    or args.remove_pictures or args.padding is not None):
+            if not (tags or import_tags or args.remove_tags or picture
+                    or args.remove_pictures or set_apps
+                    or args.remove_applications or cuesheet_text is not None
+                    or args.remove_cuesheet or args.padding is not None):
                 return 0
         plan = edit_metadata_file(
             args.input,
-            add_tags=tags,
+            add_tags=tags + import_tags,
             remove_tags=args.remove_tags,
             picture=picture,
             remove_pictures=args.remove_pictures,
             padding=args.padding,
+            set_applications=set_apps,
+            remove_applications=[a.encode("ascii")
+                                 for a in args.remove_applications],
+            cuesheet=cuesheet_text,
+            remove_cuesheet=args.remove_cuesheet,
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -480,6 +554,14 @@ def _edit_main(args) -> int:
         changes.append("+picture")
     if plan.pictures_removed:
         changes.append(f"-{plan.pictures_removed} picture(s)")
+    if plan.applications_set:
+        changes.append(f"+{plan.applications_set} application(s)")
+    if plan.applications_removed:
+        changes.append(f"-{plan.applications_removed} application(s)")
+    if plan.cuesheet_set:
+        changes.append("+cuesheet")
+    if plan.cuesheet_removed:
+        changes.append("-cuesheet")
     how = "in place" if plan.in_place else "rewritten"
     print(f"{args.input}: {', '.join(changes) or 'no change'} "
           f"({how}, padding {plan.padding})")

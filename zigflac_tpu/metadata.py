@@ -115,6 +115,25 @@ def padding_block(n_bytes: int, is_last: bool) -> bytes:
     )
 
 
+def application_block(app_id: bytes, data: bytes, is_last: bool) -> bytes:
+    """APPLICATION block: 4-byte registered id + opaque payload (spec
+    §8.4; the reference writes none — metaflac-parity extension)."""
+    if len(app_id) != 4:
+        raise ValueError(
+            f"APPLICATION id must be exactly 4 bytes, got {app_id!r}"
+        )
+    body = bytes(app_id) + bytes(data)
+    if len(body) > U24_MAX:
+        raise ValueError(
+            f"APPLICATION body too large ({len(body)} > {U24_MAX} bytes)"
+        )
+    return (
+        bytes([block_header_byte(BlockType.Application, is_last)])
+        + len(body).to_bytes(3, "big")
+        + body
+    )
+
+
 def seek_table_block(
     seekpoints: "list[tuple[int, int, int]]", is_last: bool
 ) -> bytes:

@@ -87,8 +87,43 @@ class EditPlan:
     tags_added: int = 0
     pictures_removed: int = 0
     picture_added: bool = False
+    applications_set: int = 0
+    applications_removed: int = 0
+    cuesheet_set: bool = False
+    cuesheet_removed: bool = False
     in_place: bool = False
     padding: int = 0
+
+
+def _streaminfo_fields(blocks: List[Tuple[int, bytes]]) -> Tuple[int, int]:
+    """(sample_rate, total_samples) out of a parsed chain's STREAMINFO —
+    needed to resolve .cue MM:SS:FF timestamps and the lead-out offset."""
+    for btype, body in blocks:
+        if btype == BlockType.StreamInfo and len(body) >= 18:
+            packed = int.from_bytes(body[10:18], "big")
+            return packed >> 44, packed & ((1 << 36) - 1)
+    raise MetaEditError("stream has no STREAMINFO block")
+
+
+def parse_tags_file(text: str) -> List[Tuple[str, str]]:
+    """metaflac --import-tags-from format: one NAME=VALUE per line, blank
+    lines skipped (metaflac rejects comment syntax too — a line without
+    '=' is an error, matching its 'malformed vorbis comment' message)."""
+    tags = []
+    for lineno, raw in enumerate(text.splitlines(), 1):
+        line = raw.strip()
+        if not line:
+            continue
+        if "=" not in line:
+            raise MetaEditError(
+                f"malformed tag at line {lineno} (expected NAME=VALUE): "
+                f"{line!r}"
+            )
+        name, value = line.split("=", 1)
+        if not name:
+            raise MetaEditError(f"empty tag name at line {lineno}")
+        tags.append((name, value))
+    return tags
 
 
 def _edit_blocks(
@@ -97,9 +132,20 @@ def _edit_blocks(
     remove_tags: Iterable[str] = (),
     picture: Optional[Tuple[bytes, str]] = None,
     remove_pictures: bool = False,
+    set_applications: Iterable[Tuple[bytes, bytes]] = (),
+    remove_applications: Iterable[bytes] = (),
+    cuesheet: Optional[str] = None,
+    remove_cuesheet: bool = False,
 ) -> Tuple[List[Tuple[int, bytes]], EditPlan]:
     """Apply the edit to a parsed chain; padding is stripped here and
-    re-added by the writer (it is the fit slack, not content)."""
+    re-added by the writer (it is the fit slack, not content).
+
+    ``set_applications``: (4-byte id, data) pairs — replaces the existing
+    APPLICATION block with the same id in its slot, else appends (metaflac
+    --set-application semantics). ``remove_applications``: 4-byte ids to
+    drop. ``cuesheet``: .cue text replacing/adding the CUESHEET block
+    (metaflac --import-cuesheet-from); timestamps resolve against the
+    chain's own STREAMINFO."""
     from .decoder import parse_vorbis_body
 
     plan = EditPlan()
@@ -108,11 +154,35 @@ def _edit_blocks(
     for name, _ in add_tags:
         if "=" in name:
             raise MetaEditError(f"tag name contains '=': {name!r}")
+    set_apps: List[Tuple[bytes, bytes]] = []
+    for app_id, app_data in set_applications:
+        if len(app_id) != 4:
+            raise MetaEditError(
+                f"APPLICATION id must be exactly 4 bytes, got {app_id!r}"
+            )
+        set_apps.append((bytes(app_id), bytes(app_data)))
+    remove_apps = {bytes(a) for a in remove_applications}
+    for app_id in remove_apps:
+        if len(app_id) != 4:
+            raise MetaEditError(
+                f"APPLICATION id must be exactly 4 bytes, got {app_id!r}"
+            )
+    cue_body = None
+    if cuesheet is not None:
+        from .metadata import parse_cue_sheet
+
+        rate, total = _streaminfo_fields(blocks)
+        try:
+            cue_body = parse_cue_sheet(cuesheet, rate, total)[4:]
+        except ValueError as e:
+            raise MetaEditError(f"bad cue sheet: {e}") from e
 
     out: List[Tuple[int, bytes]] = []
     vendor = None
     comments: List[str] = []
     seen_vc = False
+    seen_cue = False
+    replaced_apps = set()
     for btype, body in blocks:
         if btype == BlockType.VorbisComment and not seen_vc:
             seen_vc = True
@@ -124,7 +194,36 @@ def _edit_blocks(
         if btype == BlockType.Picture and remove_pictures:
             plan.pictures_removed += 1
             continue
+        if btype == BlockType.Application and len(body) >= 4:
+            app_id = bytes(body[:4])
+            if app_id in remove_apps:
+                plan.applications_removed += 1
+                continue
+            new_data = next(
+                (d for i, d in set_apps if i == app_id), None)
+            if new_data is not None:
+                out.append((btype, app_id + new_data))  # same slot
+                replaced_apps.add(app_id)
+                plan.applications_set += 1
+                continue
+        if btype == BlockType.CueSheet:
+            if remove_cuesheet:
+                plan.cuesheet_removed = True
+                continue
+            if cue_body is not None and not seen_cue:
+                seen_cue = True
+                out.append((btype, cue_body))  # same slot
+                plan.cuesheet_set = True
+                continue
         out.append((btype, body))  # duplicate VC blocks pass untouched
+
+    for app_id, app_data in set_apps:
+        if app_id not in replaced_apps:
+            out.append((int(BlockType.Application), app_id + app_data))
+            plan.applications_set += 1
+    if cue_body is not None and not seen_cue:
+        out.append((int(BlockType.CueSheet), cue_body))
+        plan.cuesheet_set = True
 
     if remove:
         kept = [c for c in comments if _tag_name(c) not in remove]
@@ -199,6 +298,10 @@ def edit_metadata_bytes(
     picture: Optional[Tuple[bytes, str]] = None,
     remove_pictures: bool = False,
     padding: Optional[int] = None,
+    set_applications: Iterable[Tuple[bytes, bytes]] = (),
+    remove_applications: Iterable[bytes] = (),
+    cuesheet: Optional[str] = None,
+    remove_cuesheet: bool = False,
 ) -> Tuple[bytes, EditPlan]:
     """Pure-bytes edit: returns the complete new stream (head rebuilt,
     frames copied verbatim) and the plan. ``padding`` sets the PADDING
@@ -209,7 +312,8 @@ def edit_metadata_bytes(
                       if t == BlockType.Padding)
         padding = max(0, padding - 4) if padding else 0
     new_blocks, plan = _edit_blocks(
-        blocks, add_tags, remove_tags, picture, remove_pictures
+        blocks, add_tags, remove_tags, picture, remove_pictures,
+        set_applications, remove_applications, cuesheet, remove_cuesheet,
     )
     if padding:
         new_blocks.append((int(BlockType.Padding), b"\x00" * padding))
@@ -225,6 +329,10 @@ def edit_metadata_file(
     picture: Optional[Tuple[bytes, str]] = None,
     remove_pictures: bool = False,
     padding: Optional[int] = None,
+    set_applications: Iterable[Tuple[bytes, bytes]] = (),
+    remove_applications: Iterable[bytes] = (),
+    cuesheet: Optional[str] = None,
+    remove_cuesheet: bool = False,
 ) -> EditPlan:
     """Edit ``path`` in place. If the new chain fits the old head span
     (using PADDING as slack, metaflac-style) only the head bytes are
@@ -238,7 +346,8 @@ def edit_metadata_file(
         old_span = frames_off - 4  # chain bytes between signature & frames
 
         new_blocks, plan = _edit_blocks(
-            blocks, add_tags, remove_tags, picture, remove_pictures
+            blocks, add_tags, remove_tags, picture, remove_pictures,
+            set_applications, remove_applications, cuesheet, remove_cuesheet,
         )
         base = _serialize_chain(new_blocks)
         want_pad = padding
