@@ -195,3 +195,39 @@ def test_product_pipeline_shards_lpc(rng, mesh):
     sharded = encode_wav_bytes(wav_bytes, config=cfg, backend="device")
     golden = encode_wav_bytes(wav_bytes, config=cfg, backend="golden")
     assert sharded == golden
+
+
+def test_distributed_helpers_single_process(mesh):
+    """Process-topology helpers degrade exactly in the 1-process case:
+    the whole frame range is local, allgather is identity, and
+    initialize(num_processes=1) is a no-op (no coordination service)."""
+    from zigflac_tpu.parallel import distributed as dist
+
+    assert dist.initialize(num_processes=1) is False
+    assert dist.process_count() == 1 and dist.process_index() == 0
+    ndev = mesh.devices.size
+    lo, hi = dist.local_row_bounds(mesh, 4 * ndev)
+    assert (lo, hi) == (0, 4 * ndev)
+    with pytest.raises(ValueError):
+        dist.local_row_bounds(mesh, 4 * ndev + 1)  # not divisible
+    payload, sizes = dist.allgather_parts(
+        b"abc", np.array([1, 2], np.int64))
+    assert payload == b"abc" and sizes.tolist() == [1, 2]
+    # empty contribution stays well-formed
+    payload, sizes = dist.allgather_parts(b"", np.zeros(0, np.int64))
+    assert payload == b"" and sizes.size == 0
+
+
+def test_make_global_batch_row_sharded(mesh):
+    """make_global_batch row-shards local rows over the frame axis with
+    the expected global view (single-process: local == global)."""
+    from jax.sharding import PartitionSpec as P
+
+    from zigflac_tpu.parallel import distributed as dist
+
+    ndev = mesh.devices.size
+    rows = np.arange(ndev * 6, dtype=np.int32).reshape(ndev, 6)
+    garr = dist.make_global_batch(mesh, P("frames"), rows, rows.shape)
+    assert garr.shape == rows.shape
+    np.testing.assert_array_equal(np.asarray(garr), rows)
+    assert len(garr.addressable_shards) == ndev

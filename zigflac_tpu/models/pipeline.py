@@ -244,8 +244,29 @@ class DevicePipeline:
         if self._mesh is not None:
             from ..parallel.mesh import encode_compact_sharded
 
+            if jax.process_count() > 1:
+                # multi-host: feed only this process's frame rows; the
+                # global array is row-sharded over the DCN-spanning mesh
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.distributed import (
+                    local_row_bounds, make_global_batch,
+                )
+
+                lo, hi = local_row_bounds(self._mesh, chunk.shape[0])
+                frames_in = make_global_batch(
+                    self._mesh, P("frames"), self._feed(chunk[lo:hi]),
+                    chunk.shape,
+                )
+                fns_in = make_global_batch(
+                    self._mesh, P("frames"), rec["fns"][lo:hi],
+                    rec["fns"].shape,
+                )
+            else:
+                frames_in = jnp.asarray(self._feed(chunk))
+                fns_in = jnp.asarray(rec["fns"])
             stream, meta, frame_cap = encode_compact_sharded(
-                jnp.asarray(self._feed(chunk)), jnp.asarray(rec["fns"]),
+                frames_in, fns_in,
                 self.config, self.bit_depth, rec["rate"], 0,
                 _default_deposit(), self._mesh,
             )
@@ -292,15 +313,28 @@ class DevicePipeline:
             return got
         # sharded: meta rows are [sizes..., total_words, ovf_local, ovf_any]
         per_shard = meta.shape[1] - 3
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # only this process's shard rows are addressable; byte-collect
+            # them here and exchange the per-process streams once over DCN
+            srows = {sh.index[0].start or 0: sh.data
+                     for sh in stream.addressable_shards}
+            mrows = {sh.index[0].start or 0: np.asarray(sh.data)[0]
+                     for sh in meta.addressable_shards}
+            shard_ids = sorted(srows)
+        else:
+            shard_ids = range(meta.shape[0])
         parts: List[bytes] = []
         szs: List[np.ndarray] = []
-        for s in range(meta.shape[0]):
+        for s in shard_ids:
             local_real = min(per_shard, nreal - s * per_shard)
             if local_real <= 0:
-                break
-            got = _collect_aligned(
-                (stream[s], meta[s, :-1]), local_real, frame_cap
-            )
+                continue  # padding-only shard at the batch tail
+            if multiproc:
+                row = (srows[s][0], mrows[s][:-1])
+            else:
+                row = (stream[s], meta[s, :-1])
+            got = _collect_aligned(row, local_real, frame_cap)
             if got is None:  # this shard's rows only, through the ladder
                 lo = s * per_shard
                 rows = pending["chunk"][lo : lo + per_shard]
@@ -311,7 +345,14 @@ class DevicePipeline:
                 )
             parts.append(got[0])
             szs.append(got[1])
-        return b"".join(parts), np.concatenate(szs)
+        payload = b"".join(parts)
+        sizes = (np.concatenate(szs) if szs
+                 else np.zeros(0, np.int64))
+        if multiproc:
+            from ..parallel.distributed import allgather_parts
+
+            payload, sizes = allgather_parts(payload, sizes)
+        return payload, sizes
 
     def _encode_overflow(self, chunk, nreal, fns, c, B, info):
         """Capacity-ladder fallback for batches that out-size tier 0."""

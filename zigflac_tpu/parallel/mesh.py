@@ -33,7 +33,13 @@ FRAME_AXIS = "frames"
 
 
 def default_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    """1-D frame-axis mesh over all (global) devices. After
+    parallel.distributed.initialize() jax.devices() spans every host, so
+    the same mesh/shard_map programs scale ICI -> DCN; devices sort
+    process-major so each process owns one CONTIGUOUS frame-row range
+    (distributed.local_row_bounds relies on this)."""
+    devices = list(devices if devices is not None else jax.devices())
+    devices.sort(key=lambda d: (d.process_index, d.id))
     return Mesh(np.asarray(devices), (FRAME_AXIS,))
 
 
