@@ -558,6 +558,31 @@ struct BitRd {
     int rem = (int)(bitpos() & 7);
     if (rem) read64(8 - rem);
   }
+
+  // One whole Rice code (unary quotient + stop bit + k remainder bits)
+  // from a single window when it fits — the common case by a wide margin
+  // (typical k ~ 5-12, quotient 0-3, so ~7-16 bits against a >= 34-bit
+  // window). One refill check + one avail update per sample instead of
+  // the read_unary/read pair's two to four; falls back to the exact
+  // slow path at window boundaries and long unary runs. Returns the
+  // zigzag-DECODED residual.
+  inline int64_t read_rice(int k) {
+    if (avail <= 40) refill();  // fast path needs z + 1 + k <= avail
+    int z = buf ? __builtin_clzll(buf) : 64;
+    if (z + 1 + k <= avail) {
+      // consume z zeros + the stop bit in two shifts (z + 1 == 64 when
+      // a 63-zero run fills the window: single shift-by-64 is UB)
+      uint64_t rest = (buf << z) << 1;
+      uint64_t zz = ((uint64_t)(uint32_t)z << k) |
+                    (k ? rest >> (64 - k) : 0);
+      buf = k ? rest << k : rest;
+      avail -= z + 1 + k;
+      return (int64_t)(zz >> 1) ^ -(int64_t)(zz & 1);
+    }
+    uint64_t q = read_unary();
+    uint64_t zz = (q << k) | (k ? read64(k) : 0);
+    return (int64_t)(zz >> 1) ^ -(int64_t)(zz & 1);
+  }
 };
 
 static const int64_t FIXED_Q[5][4] = {
@@ -587,11 +612,7 @@ static bool residual_partitions(BitRd& r, int64_t* out, int block_size,
       }
     } else {
       int k = (int)param;
-      for (int i = 0; i < psz; i++) {
-        uint64_t q = r.read_unary();
-        uint64_t z = (q << k) | (k ? r.read(k) : 0);
-        out[idx++] = (int64_t)(z >> 1) ^ -(int64_t)(z & 1);
-      }
+      for (int i = 0; i < psz; i++) out[idx++] = r.read_rice(k);
     }
     if (!r.ok) return false;
   }
@@ -845,6 +866,57 @@ static PyObject* py_parse_frames(PyObject*, PyObject* args) {
                        pc, pf, pk, pe);
 }
 
+// In-place IIR update o[i] += (sum_j q[j] * o[i-1-j]) >> shift for
+// i in [order, B): the decode-side arithmetic hot loop. The templated
+// forms keep the `order`-deep history in registers (a rotating local
+// array the compiler fully unrolls), so each sample costs `order`
+// multiply-adds with no reloads of just-written samples; the generic
+// fallback covers rare high orders. shift is 0 for fixed predictors.
+template <int ORDER>
+static inline void iir_inplace_t(int64_t* o, Py_ssize_t B, const int64_t* q,
+                                 int shift) {
+  if (B <= ORDER) return;
+  int64_t h[ORDER];
+  int64_t c[ORDER];
+  for (int j = 0; j < ORDER; j++) {
+    h[j] = o[ORDER - 1 - j];
+    c[j] = q[j];
+  }
+  for (Py_ssize_t i = ORDER; i < B; i++) {
+    int64_t pred = 0;
+    for (int j = 0; j < ORDER; j++) pred += c[j] * h[j];
+    int64_t s = o[i] + (pred >> shift);
+    for (int j = ORDER - 1; j > 0; j--) h[j] = h[j - 1];
+    h[0] = s;
+    o[i] = s;
+  }
+}
+
+static inline void iir_inplace(int64_t* o, Py_ssize_t B, const int64_t* q,
+                               int order, int shift) {
+  switch (order) {
+    case 0: return;
+    case 1: return iir_inplace_t<1>(o, B, q, shift);
+    case 2: return iir_inplace_t<2>(o, B, q, shift);
+    case 3: return iir_inplace_t<3>(o, B, q, shift);
+    case 4: return iir_inplace_t<4>(o, B, q, shift);
+    case 5: return iir_inplace_t<5>(o, B, q, shift);
+    case 6: return iir_inplace_t<6>(o, B, q, shift);
+    case 7: return iir_inplace_t<7>(o, B, q, shift);
+    case 8: return iir_inplace_t<8>(o, B, q, shift);
+    case 9: return iir_inplace_t<9>(o, B, q, shift);
+    case 10: return iir_inplace_t<10>(o, B, q, shift);
+    case 11: return iir_inplace_t<11>(o, B, q, shift);
+    case 12: return iir_inplace_t<12>(o, B, q, shift);
+    default:
+      for (Py_ssize_t i = order; i < B; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; j++) pred += q[j] * o[i - 1 - j];
+        o[i] += pred >> shift;
+      }
+  }
+}
+
 // synthesize(values, qcoeffs, sow, chcode, n, C, B) -> bytes (i64 samples,
 // [n][C][B] C-order). Host IIR synthesis + stereo recombination over the
 // normalized predictor form parse_frames emits — the all-native decode path
@@ -885,12 +957,8 @@ static PyObject* py_synthesize(PyObject*, PyObject* args) {
       const int shift = s[0];
       const int order = s[1];
       const int wasted = s[2];
-      for (int i = 0; i < order && i < B; i++) o[i] = v[i];
-      for (Py_ssize_t i = order; i < B; i++) {
-        int64_t pred = 0;
-        for (int j = 0; j < order; j++) pred += q[j] * o[i - 1 - j];
-        o[i] = v[i] + (pred >> shift);
-      }
+      std::memcpy(o, v, (size_t)B * sizeof(int64_t));
+      iir_inplace(o, B, q, order, shift);
       if (wasted)
         for (Py_ssize_t i = 0; i < B; i++) o[i] <<= wasted;
     }
@@ -1002,11 +1070,7 @@ static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
       const int shift = sow[ch * 3 + 0];
       const int order = sow[ch * 3 + 1];
       const int wasted = sow[ch * 3 + 2];
-      for (int i = order; i < B; i++) {
-        int64_t pred = 0;
-        for (int j = 0; j < order; j++) pred += q[j] * o[i - 1 - j];
-        o[i] += pred >> shift;
-      }
+      iir_inplace(o, B, q, order, shift);
       if (wasted)
         for (int i = 0; i < B; i++) o[i] <<= wasted;
     }
