@@ -111,19 +111,33 @@ def best_fixed_order(planes: jnp.ndarray, wide: bool):
     residuals exceed i32 with u64::max and reports whether the winner is
     usable (libFLAC/fixed.zig:88-168)."""
     i32_max = jnp.uint64((1 << 31) - 1)
-    # depth < 28 (normal mode): the whole cascade fits int32; wide mode
-    # needs int64 (33-bit side samples, up to 37-bit diffs)
-    d = planes.astype(jnp.int64) if wide else planes.astype(jnp.int32)
+    # depth < 28 (normal mode): every difference fits int32; wide mode
+    # needs int64 (33-bit side samples, up to 37-bit diffs).
+    # Each order's difference is computed DIRECTLY from the input via its
+    # binomial taps (d_k[i] = sum_m BINOM[k][m] * x[i+k-m]) instead of
+    # cascading d_k = diff(d_{k-1}): the cascade materialized three
+    # [planes, ~B] intermediates to HBM (each multi-use: the next diff +
+    # its own reduce — ~0.9 ms of pure traffic per 1024-frame batch at
+    # 16-bit), while the tap form gives five sibling reduces over shifted
+    # slices of ONE buffer, which XLA fuses without materializing any
+    # difference tensor. The values are the same exact integers, so
+    # order/argmin/bytes are unchanged.
+    x = planes.astype(jnp.int64) if wide else planes.astype(jnp.int32)
+    B = x.shape[-1]
     totals = []
     for k in range(MAX_FIXED_ORDER + 1):
-        a = jnp.abs(d)
+        dk = None
+        for m in range(k + 1):
+            c = int(BINOM[k][m])
+            sl = x[..., k - m : B - m] if k else x
+            term = sl if c == 1 else (-sl if c == -1 else c * sl)
+            dk = term if dk is None else dk + term
+        a = jnp.abs(dk)
         total = a.astype(jnp.uint64).sum(axis=-1)
         if wide:
             overflow = _tree_or(a.astype(jnp.uint64)) > i32_max
             total = jnp.where(overflow, U64_MAX, total)
         totals.append(total)
-        if k < MAX_FIXED_ORDER:
-            d = d[..., 1:] - d[..., :-1]
     tstack = jnp.stack(totals)  # [5, ...]
     order = jnp.argmin(tstack, axis=0).astype(jnp.int32)  # first-min
     if wide:
@@ -493,7 +507,8 @@ def analyze_planes(
             pre, B, config.lpc_precision, jnp
         )
         l_res, l_fits = lpc_residuals(
-            planes, l_q, l_shift, l_order, config.lpc_order, jnp
+            planes, l_q, l_shift, l_order, config.lpc_order, jnp,
+            sample_size=sample_size,
         )
         l_ok = l_okq & l_fits
         l_bits, l_method, l_po, l_params, l_unsafe = rice_estimate(

@@ -343,13 +343,27 @@ def select_lpc_candidate(pre, block_size: int, precision: int, xp):
     return order, qc, shift, ok
 
 
-def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp):
+def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp,
+                  sample_size=None):
     """r[i] = s[i] - (sum_j q_j * s[i-1-j] >> shift) for i >= order, first
     ``order`` slots zeroed. ``order`` is a PER-PLANE array (the selected
     candidate); the tap loop runs ``max_order`` static iterations and the
     zero-padded qcoeffs beyond each plane's real order contribute nothing.
     One implementation for both backends (exact integers either way).
-    Returns (residuals i32 [..., B], fits_i32 bool)."""
+    Returns (residuals i32 [..., B], fits_i32 bool).
+
+    ``sample_size`` (the audio depth; side planes carry one extra bit,
+    d = sample_size + 1) enables a STATIC overflow proof that skips the
+    dynamic fits check — a [planes, B] and-reduce that measured 0.88
+    ms/batch at 154 GB/s on a v5e (reduce-to-pred serializes). Proof with
+    |s| <= 2^d, order <= 32 and the _quantize_fixed geometry (shift =
+    clip(precision + 27 - bitlen(cmax), 0, 15), Levinson clamp |c| <= 32
+    in Q28 so bitlen(cmax) <= 34, clip |q_j| <= 2^(precision-1)):
+    whichever clip branch applies, |q_j| / 2^shift <= 2^(bitlen - 28) <=
+    2^6, hence |pred >> shift| <= 32 * 2^6 * 2^d = 2^(d+11); the residual
+    is bounded by 2^d + 2^(d+11) + slack < 2^31 whenever d <= 19 — every
+    depth <= 18 audio can never trip the check, on either backend (the
+    same gate in numpy keeps golden == device by construction)."""
     B = planes.shape[-1]
     # taps stream the signal at its NATIVE width (i32 except 33-bit depth-32
     # side planes) and widen inside the fused multiply-accumulate — an i64
@@ -376,8 +390,12 @@ def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp):
     else:
         idx = jax.lax.broadcasted_iota(xp.int32, planes.shape, planes.ndim - 1)
     res = xp.where(idx < xp.asarray(order)[..., None], 0, res)
-    i32max = np.int64((1 << 31) - 1)
-    fits = ((res <= i32max) & (res >= -i32max - 1)).all(axis=-1)
+    if sample_size is not None and sample_size <= 18:  # d = depth+1 <= 19
+        # statically proven in range (see docstring): no dynamic check
+        fits = xp.ones(planes.shape[:-1], dtype=bool)
+    else:
+        i32max = np.int64((1 << 31) - 1)
+        fits = ((res <= i32max) & (res >= -i32max - 1)).all(axis=-1)
     return res.astype(xp.int32), fits
 
 
@@ -407,5 +425,6 @@ def analyze_lpc_np(
     lags = lag_sums_np(planes, lpc_order, sample_size)
     pre = fixed_point_levinson(lags, orders, precision, np)
     order, qc, shift, ok = select_lpc_candidate(pre, B, precision, np)
-    res, fits = lpc_residuals(planes, qc, shift, order, lpc_order, np)
+    res, fits = lpc_residuals(planes, qc, shift, order, lpc_order, np,
+                              sample_size=sample_size)
     return order, res, qc, shift, ok & fits
