@@ -427,6 +427,35 @@ def header_symbols(
     )
 
 
+def _cumsum_bits_exact(nb: jnp.ndarray) -> jnp.ndarray:
+    """Exact i32 prefix sum of per-symbol bit widths [N, S] via blocked
+    lower-triangular f32 matmuls on the MXU.
+
+    XLA lowers jnp.cumsum to a reduce_window scan that measured 0.33
+    ms/batch at 222 GB/s on v5e; the matmul form is one MXU pass plus a
+    tiny per-block offset cumsum. EXACT because every value is a
+    non-negative integer and every partial sum is bounded by a frame's
+    total bit count (< 2^19 even for depth-32 stereo verbatim at block
+    32768, far under f32's 2^24 exact-integer range), so each f32
+    product/add is an exactly-representable integer. Callers gate on a
+    static frame-bit bound and fall back to jnp.cumsum past 2^24."""
+    n, s = nb.shape
+    blk = 128
+    sp = -(-s // blk) * blk
+    x = nb.astype(jnp.float32)
+    if sp != s:
+        x = jnp.pad(x, ((0, 0), (0, sp - s)))
+    xb = x.reshape(n, sp // blk, blk)
+    tri = jnp.triu(jnp.ones((blk, blk), jnp.float32))  # tri[i,j]=1 iff i<=j
+    inner = jax.lax.dot_general(
+        xb, tri, (((2,), (0,)), ((), ()))
+    )  # [n, nblk, blk]: inclusive cumsum within each block
+    bsum = inner[..., -1]
+    offs = jnp.cumsum(bsum, axis=1) - bsum  # [n, nblk] exclusive, tiny
+    out = (inner + offs[..., None]).astype(jnp.int32).reshape(n, sp)
+    return out[:, :s]
+
+
 def frame_symbol_stream(
     plan: FrameWirePlan,
     frame_numbers: jnp.ndarray,
@@ -469,7 +498,14 @@ def frame_symbol_stream(
         dep_nbv_parts.append(dep_nbv)
 
     nb = jnp.concatenate(nb_parts, axis=1)
-    dep_cum = jnp.cumsum(nb, axis=1, dtype=jnp.int32)
+    # static worst-case frame bits: every wire subframe at its verbatim
+    # ceiling (33-bit samples + headers), generously padded. Under 2^24
+    # the MXU cumsum is exact; past it (8-channel x 65535-sample frames)
+    # fall back to the scan form.
+    if n_wire * (block_size * 40 + 128) + 128 < (1 << 24):
+        dep_cum = _cumsum_bits_exact(nb)
+    else:
+        dep_cum = jnp.cumsum(nb, axis=1, dtype=jnp.int32)
     total_bits = dep_cum[:, -1]
     dep_nbv = jnp.concatenate(dep_nbv_parts, axis=1)
     return dep_cum, total_bits, dep_val_parts, dep_nbv
@@ -598,32 +634,48 @@ def deposit_stream_windowed(
     acc1 = jnp.where(relcat == tio, cc(s1, s3), z32).sum(
         axis=3, dtype=jnp.int32
     )
-    # interleave the per-dword word pairs back to stream words [N, nch, W]
-    acc = jnp.stack([acc0, acc1], axis=-1).reshape(n, nch, W)
-
     # stage 2: overlap-add via one-hot matmul over row_words-word rows,
-    # one matmul per byte plane. MEASURED (v5e, 1024-frame 16-bit batch):
-    # concatenating the four planes on the minor axis so one wider matmul
-    # reads the one-hot once is ~0.6-1.5 ms SLOWER — the [N, K, 4*rw]
-    # concat materializes and the [N, R, 4*rw] f32 output outweighs the
-    # saved one-hot reads; per-plane, XLA fuses each plane's shift/mask
-    # into the matmul operand.
+    # one matmul per (byte plane, word parity). MEASURED (v5e, 1024-frame
+    # 16-bit batch):
+    # * concatenating the four byte planes on the minor axis so one wider
+    #   matmul reads the one-hot once is ~0.6-1.5 ms SLOWER — the
+    #   [N, K, 4*rw] concat materializes and the [N, R, 4*rw] f32 output
+    #   outweighs the saved one-hot reads; per-plane, XLA fuses each
+    #   plane's shift/mask into the matmul operand.
+    # * interleaving acc0/acc1 into stream-word order BEFORE the matmul
+    #   (stack + reshape on the bf16 planes) cost ~1.6 ms/batch of pure
+    #   relayout: the stage-1 outputs are batch-minor ({0,2,1}) while the
+    #   dot wants K-minor ({1,2,0}), and the interleave stack forced four
+    #   byte planes through copy -> reshape -> copy chains (per-fusion
+    #   profile, r4). Keeping the EVEN and ODD word planes separate
+    #   through half-width dots and interleaving ONCE on the final i32
+    #   output (a single [N, R, rw/2, 2] stack) avoids all of it.
     K = nch * win_rows
-    winb = acc.reshape(n, K, row_words)
+    rw2 = row_words // 2
+    winb_e = acc0.reshape(n, K, rw2)  # even stream words of each row
+    winb_o = acc1.reshape(n, K, rw2)  # odd stream words
     keys = base_row[:, :, None] + jnp.arange(win_rows, dtype=jnp.int32)
     keys = keys.reshape(n, K)  # output row of each window row
     R = (max_words + 2) // row_words + win_rows + 1
     onehot = (
         keys[:, None, :] == jnp.arange(R, dtype=jnp.int32)[None, :, None]
     ).astype(jnp.bfloat16)  # [N, R, K]
-    out = jnp.zeros((n, R, row_words), jnp.int32)
+    out_e = jnp.zeros((n, R, rw2), jnp.int32)
+    out_o = jnp.zeros((n, R, rw2), jnp.int32)
     for b in range(4):
-        plane = ((winb >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
-        summed = jax.lax.dot_general(
-            onehot, plane, (((2,), (1,)), ((0,), (0,))),
+        pe = ((winb_e >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+        po = ((winb_o >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+        se = jax.lax.dot_general(
+            onehot, pe, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [N, R, row_words]; each entry <= 255 (disjoint bits), exact
-        out = out + (summed.astype(jnp.int32) << (8 * b))
+        )  # [N, R, rw2]; each entry <= 255 (disjoint bits), exact
+        so = jax.lax.dot_general(
+            onehot, po, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out_e = out_e + (se.astype(jnp.int32) << (8 * b))
+        out_o = out_o + (so.astype(jnp.int32) << (8 * b))
+    out = jnp.stack([out_e, out_o], axis=-1).reshape(n, R, row_words)
     words = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(
         n, R * row_words
     )

@@ -111,10 +111,25 @@ def _lag_sums_impl(planes, order: int, sample_size, xp):
         hi = (x >> np.int64(_LIMB)).astype(xp.int32)
         lo = (x & m24).astype(xp.int32)
     elif tier == 1:
-        yh = (x >> np.int64(16)).astype(xp.int32)
-        yl = (x & np.int64(0xFFFF)).astype(xp.int32)
         if narrow:
+            # |xw| <= 2^31 - 2^15 under the narrow gate, so yh = xw >> 16
+            # fits int16 and yl is an unsigned low half: 16-bit storage is
+            # exact and halves the b-side stream of every lag reduce (the
+            # widen back to i64 fuses into the product-reduce). Depths
+            # 17-18 still reach tier 1 with |yh| up to 2^17 — those keep
+            # i32 halves. MEASURED DEAD END (r4, A/B on v5e): decomposing
+            # the products over the halves alone (hh / hl+lh / ll with a
+            # limb recombine) to drop the i32 x stream entirely was ~2 ms
+            # SLOWER per batch (16.11 vs 14.15 ms LPC mode) despite ~33%
+            # fewer accounted bytes — the all-16-bit operand reduces and
+            # the fused (ah*bl + al*bh) sum vectorize worse than the
+            # i32-times-i16 form. Keep x i32 as the a-side.
+            yh = (x >> np.int64(16)).astype(xp.int16)
+            yl = (x & np.int64(0xFFFF)).astype(xp.uint16)
             x = x.astype(xp.int32)
+        else:
+            yh = (x >> np.int64(16)).astype(xp.int32)
+            yl = (x & np.int64(0xFFFF)).astype(xp.int32)
     else:
         x = x.astype(xp.int32)
     out = []
@@ -273,29 +288,39 @@ def fixed_point_levinson(lags, orders: Tuple[int, ...], precision: int, xp):
     k_clip = np.int64(2 << _Q)
     c_clip = np.int64(32 << _Q)
     a_clip = np.int64(64 << _Q)
-    coeffs = [xp.zeros(batch, xp.int64) for _ in range(max_order)]
+    # coefficients as ONE [..., max_order] tensor: the j-loops over
+    # per-coefficient arrays emitted O(max_order^2) tiny device ops whose
+    # per-op sequencing cost (~1-2 us each on a TPU core) dominated the
+    # recursion's actual arithmetic; the batched forms below are the same
+    # exact integer ops (per-term >> _Q floors kept inside the reduce;
+    # i64 sums can't overflow: |(c*r) >> Q| <= 2^33, <= 31 terms) fused
+    # into a handful of ops per order.
+    C = xp.zeros(batch + (max_order,), xp.int64)
     out = []
     for i in range(max_order):
         acc = r[..., i + 1]
-        for j in range(i):
-            acc = acc - ((coeffs[j] * r[..., i - j]) >> np.int64(_Q))
+        if i:
+            rr = xp.flip(r[..., 1 : i + 1], axis=-1)  # r[i-j], j = 0..i-1
+            acc = acc - ((C[..., :i] * rr) >> np.int64(_Q)).sum(axis=-1)
         acc = xp.clip(acc, -a_clip, a_clip)
         k = xp.clip((acc << np.int64(_Q)) // xp.maximum(err, 1), -k_clip,
                     k_clip)
-        new = list(coeffs)
-        for j in range(i):
-            new[j] = xp.clip(
-                coeffs[j] - ((k * coeffs[i - 1 - j]) >> np.int64(_Q)),
+        if i:
+            upd = xp.clip(
+                C[..., :i]
+                - ((k[..., None] * xp.flip(C[..., :i], axis=-1))
+                   >> np.int64(_Q)),
                 -c_clip, c_clip,
             )
-        new[i] = k
-        coeffs = new
+            C = xp.concatenate([upd, k[..., None], C[..., i + 1 :]], axis=-1)
+        else:
+            C = xp.concatenate([k[..., None], C[..., 1:]], axis=-1)
         err = (err * xp.maximum(one - ((k * k) >> np.int64(_Q)), 1)) >> (
             np.int64(_Q)
         )
         if (i + 1) in orders:
-            cstack = xp.stack(coeffs[: i + 1], axis=-1)
-            qc, shift, ok = _quantize_fixed(cstack, i + 1, precision, xp)
+            qc, shift, ok = _quantize_fixed(C[..., : i + 1], i + 1,
+                                            precision, xp)
             pad = [(0, 0)] * (qc.ndim - 1) + [(0, 32 - (i + 1))]
             out.append((i + 1, xp.pad(qc, pad), shift, ok, err))
     return out
@@ -370,7 +395,20 @@ def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp,
     # signal copy would double the HBM traffic of all max_order+1 passes
     # (same narrow-storage rule as the lag sums; the accumulator itself
     # must be i64: |q*s| <= 2^(14+33)).
-    pred = xp.zeros(planes.shape, dtype=xp.int64)
+    narrow = sample_size is not None and sample_size <= 18
+    if narrow:
+        # Split each tap product into two i32 partial sums instead of one
+        # emulated-i64 multiply-accumulate (a TPU i64 product is ~4 u32
+        # multiplies + carries; this pass measured 0.73 ms/batch at 276
+        # GB/s — compute-bound). With |q| <= 2^14 (precision <= 15) and
+        # |s| <= 2^d, d <= 19: |sum q*(s>>8)| <= 32 * 2^14 * 2^11 = 2^30
+        # and |sum q*(s&0xFF)| <= 32 * 2^14 * 2^8 = 2^27 — both fit i32 —
+        # and s == (s>>8)*256 + (s&0xFF) exactly (arithmetic shift +
+        # unsigned low byte), so pred == (S_hi << 8) + S_lo exactly.
+        s_hi = xp.zeros(planes.shape, dtype=xp.int32)
+        s_lo = xp.zeros(planes.shape, dtype=xp.int32)
+    else:
+        pred = xp.zeros(planes.shape, dtype=xp.int64)
     for j in range(max_order):
         if xp is np:
             sh = np.zeros_like(planes)
@@ -379,9 +417,17 @@ def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp,
             sh = xp.pad(planes, [(0, 0)] * (planes.ndim - 1) + [(j + 1, 0)])[
                 ..., :B
             ]
-        pred = pred + qcoeffs[..., j : j + 1].astype(xp.int64) * sh.astype(
-            xp.int64
-        )
+        if narrow:
+            q32 = qcoeffs[..., j : j + 1]
+            sh32 = sh.astype(xp.int32)
+            s_hi = s_hi + q32 * (sh32 >> 8)
+            s_lo = s_lo + q32 * (sh32 & 0xFF)
+        else:
+            pred = pred + qcoeffs[..., j : j + 1].astype(xp.int64) * sh.astype(
+                xp.int64
+            )
+    if narrow:
+        pred = (s_hi.astype(xp.int64) << 8) + s_lo
     pred = pred >> shift[..., None].astype(xp.int64)
     res = planes.astype(xp.int64) - pred
     if xp is np:
