@@ -176,18 +176,30 @@ def main() -> None:
     assert all(f[:4] == b"fLaC" for f in mf_out)
     mf_x = mf_seconds / mf_best
 
-    # ---- config 5: decoder round-trip on config 1's stream (native
-    # backend: C++ batch parser + IIR synthesis, no device transfers) ----
-    dec = decode_flac(flac, backend="native")  # warmup
-    d_best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        dec = decode_flac(flac, backend="native")
-        d_best = min(d_best, time.perf_counter() - t0)
-    dec_x = seconds / d_best
-    roundtrip_ok = bool(dec.md5_ok) and np.array_equal(
-        dec.samples, wav.planar_samples()
-    )
+    # ---- config 5: decoder round-trip on config 1's stream — the
+    # flac2wav product path (fused C++ parse + IIR synthesis + container
+    # serialization, no device transfers), timed file-to-file ----
+    import tempfile
+
+    from zigflac_tpu.decoder import decode_file
+
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "bench.flac")
+        wp = os.path.join(td, "bench.wav")
+        with open(fp, "wb") as f:
+            f.write(flac)
+        decode_file(fp, wp, backend="native")  # warmup
+        d_best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            decode_file(fp, wp, backend="native")
+            d_best = min(d_best, time.perf_counter() - t0)
+        dec_x = seconds / d_best
+        with open(wp, "rb") as f:
+            roundtrip_ok = f.read() == wav_bytes
+    # the API-level decode (samples + MD5) exercised once for the check
+    dec = decode_flac(flac, backend="native")
+    roundtrip_ok = roundtrip_ok and bool(dec.md5_ok)
 
     pcm_bytes = seconds * 44100 * 2 * 2
     result = {
