@@ -124,7 +124,12 @@ def test_fuzz_config_space(case):
     rng = np.random.default_rng(0xCF60 + case)
     depth = int(rng.choice([16, 24]))
     block = int(rng.choice([192, 256, 512]))
-    n = int(rng.integers(2 * block, 4 * block))
+    # ragged coverage with DETERMINISTIC tail length (block // 2): one
+    # compiled device-tail shape per block bucket instead of one per case
+    # (a random tail in [0, block) compiled ~10 one-off shapes)
+    n = int(rng.integers(2, 4)) * block + (
+        block // 2 if rng.integers(0, 2) else 0
+    )
     samples = _random_signal(rng, n, 2, depth)
     if rng.integers(0, 2):
         samples &= ~((1 << int(rng.integers(1, 4))) - 1)  # force wasted bits
