@@ -103,9 +103,11 @@ def test_lag_sums_tiers_identical_at_extremes(rng):
 
     from zigflac_tpu.ops.lpc import _lag_tier, lag_sums, lag_sums_np
 
-    # 17 pins tier 1's non-narrow branch (x stays i64, y halves i32)
+    # Q8 window tiers: 8/16/17 -> tier 0; 20 -> tier 1 narrow (i16/u16
+    # halves); 24 -> tier 1 NON-narrow (x stays i64, y halves i32);
+    # 32 -> tier 2 (limb path vs itself, plus the jnp mirror)
     for ss, B in [(8, 4096), (12, 4096), (16, 4096), (16, 8192), (17, 4096),
-                  (20, 4096)]:
+                  (20, 4096), (24, 4096), (32, 1024)]:
         lim = 1 << ss  # side-plane magnitude: sample_size+1 signed bits
         planes = rng.integers(-lim, lim, size=(3, B), dtype=np.int64)
         planes[0, :] = -lim  # constant full-scale: maximal correlation
@@ -115,10 +117,12 @@ def test_lag_sums_tiers_identical_at_extremes(rng):
         np.testing.assert_array_equal(got, ref), (ss, B)
         dev = np.asarray(lag_sums(jnp.asarray(planes), 8, ss))
         np.testing.assert_array_equal(dev, ref)
-    # gate sanity: common depths take the cheap tiers
+    # gate sanity: common depths take the cheap tiers (Q8 window bounds)
     assert _lag_tier(8, 4096) == 0
-    assert _lag_tier(16, 4096) == 1
-    assert _lag_tier(20, 4096) == 2
+    assert _lag_tier(16, 4096) == 0
+    assert _lag_tier(20, 4096) == 1
+    assert _lag_tier(24, 4096) == 1
+    assert _lag_tier(32, 4096) == 2
     assert _lag_tier(None, 4096) == 2
 
 
@@ -150,7 +154,6 @@ def test_fixed_levinson_device_equals_numpy(rng):
         fixed_point_levinson,
         lag_sums_np,
         lpc_candidate_orders,
-        tukey_q15,
     )
 
     orders = lpc_candidate_orders(12)

@@ -10,8 +10,8 @@ Determinism architecture (golden == device == any platform, by construction):
 * The ENTIRE derivation is integer arithmetic — no float touches
   coefficients anywhere (TPU-emulated f64 is not correctly rounded, and
   cross-backend float would break the byte-exactness invariant):
-  - autocorrelation: samples windowed by a Q15 fixed-point Tukey(0.5)
-    window, each lag sum carried as three int64 limb partial sums (hi·hi,
+  - autocorrelation: samples windowed by a Q8 fixed-point Tukey(0.5)
+    window (WINDOW_Q — see tukey_qw for why 8), each lag sum carried as three int64 limb partial sums (hi·hi,
     hi·lo+lo·hi, lo·lo over 24-bit limbs) — `lag_sums` (jnp) and
     `lag_sums_np` produce the same exact integers;
   - Levinson-Durbin + quantization: Q28 fixed point over int64 adds,
@@ -25,7 +25,7 @@ Determinism architecture (golden == device == any platform, by construction):
   device, numpy in golden — exact either way).
 
 Encoding behavior (ours to define — there is no reference bitstream to
-match): analyze at the candidate orders below, Q15 Tukey(0.5) window,
+match): analyze at the candidate orders below, Q8 Tukey(0.5) window,
 precision ``config.lpc_precision`` bits, pick LPC over fixed/verbatim/
 constant by the same header-less estimated-bits comparison the reference
 uses between fixed and verbatim.
@@ -61,16 +61,31 @@ def tukey_window(n: int, alpha: float = 0.5) -> np.ndarray:
     return w
 
 
+WINDOW_Q = 8  # window fixed-point fraction bits (see tukey_qw)
+
+
 @lru_cache(maxsize=32)
-def tukey_q15(n: int) -> np.ndarray:
-    """The window the format actually uses: Q15 fixed point, int64."""
-    return np.round(tukey_window(n) * 32768.0).astype(np.int64)
+def tukey_qw(n: int) -> np.ndarray:
+    """The window the encoder actually uses: Q8 fixed point, int64.
+
+    Q8 (scale 256) instead of the original Q15 because the window scale
+    sets the lag-sum magnitude proof: |xw| < 2^(sample_size + WINDOW_Q),
+    and at Q8 every depth <= 16 hits tier 0 of _lag_tier (ONE i64
+    product-reduce per lag over a single aliased i32 buffer) and 24-bit
+    hits tier 1 instead of the 4-product limb path. Window precision is
+    an ENCODER QUALITY knob, not a correctness one (the stream carries
+    quantized coefficients; any window yields a valid stream, golden and
+    device share this one definition) — measured ratio impact of Q15->Q8
+    on tonal+noise / chirp / quiet-noise / AR(2) content: <= +0.003%
+    (r4; Q7 cost +0.083% on chirp, hence 8)."""
+    return np.round(tukey_window(n) * float(1 << WINDOW_Q)).astype(np.int64)
 
 
 def _lag_tier(sample_size, block_size: int) -> int:
     """Pick the cheapest exact product strategy for the lag sums from the
-    magnitude proof |xw| <= 2^(sample_size+1+14) (side planes carry one
-    extra bit; the Q15 window adds 15, signed magnitude drops 1):
+    magnitude proof |xw| <= 2^(sample_size+1+(WINDOW_Q-1)) (side planes
+    carry one extra bit; the Q8 window adds WINDOW_Q, signed magnitude
+    drops 1):
 
     * tier 0 — ONE i64 product per lag: the full product sum fits i64.
     * tier 1 — TWO products per lag (full x times y>>16 and y&0xFFFF):
@@ -84,7 +99,7 @@ def _lag_tier(sample_size, block_size: int) -> int:
     never affect bytes — only speed."""
     if sample_size is None:
         return 2
-    d = sample_size + 1 + 14  # |xw| <= 2^d
+    d = sample_size + 1 + (WINDOW_Q - 1)  # |xw| <= 2^d
     lb = max(int(block_size) - 1, 1).bit_length()  # ceil(log2 B)
     if 2 * d + lb <= 62:
         return 0
@@ -95,7 +110,7 @@ def _lag_tier(sample_size, block_size: int) -> int:
 
 def _lag_sums_impl(planes, order: int, sample_size, xp):
     B = planes.shape[-1]
-    x = planes.astype(xp.int64) * tukey_q15(B)
+    x = planes.astype(xp.int64) * tukey_qw(B)
     m24 = np.int64((1 << _LIMB) - 1)
     tier = _lag_tier(sample_size, B)
     # Narrow operand storage: the product-reduces are HBM-bound (the i64
@@ -103,10 +118,11 @@ def _lag_sums_impl(planes, order: int, sample_size, xp):
     # an i64 tensor is an emulated limb PAIR — double the traffic. Every
     # operand whose magnitude proof fits i32 is stored i32 and widened
     # back to i64 inside the product (the cast is exact and fuses into the
-    # reduce): tier 0 always (|xw| <= 2^25), tier 1's x iff
-    # sample_size+15 <= 31, tier 1's y>>16 always (<= 2^17 under the tier
-    # gate), tier 2's 24-bit limbs always (hi <= 2^23 since |xw| < 2^47).
-    narrow = sample_size is not None and sample_size + 15 <= 31
+    # reduce): tier 0 always (|xw| <= 2^(16+WINDOW_Q) there), tier 1's x
+    # iff sample_size+WINDOW_Q <= 31, tier 1's y>>16 always (<= 2^17
+    # under the tier gate), tier 2's 24-bit limbs always (hi <= 2^23
+    # since |xw| < 2^47).
+    narrow = sample_size is not None and sample_size + WINDOW_Q <= 31
     if tier == 2:
         hi = (x >> np.int64(_LIMB)).astype(xp.int32)
         lo = (x & m24).astype(xp.int32)
