@@ -48,7 +48,7 @@ def make_wav_bytes(
     rng = np.random.default_rng(seed)
     n = n_samples if n_samples is not None else int(seconds * rate)
     t = np.arange(n)
-    scale = float(1 << (depth - 16))  # same spectral recipe at every depth
+    scale = 2.0 ** (depth - 16)  # same spectral recipe at every depth
     base = scale * (
         9000 * np.sin(2 * np.pi * 440 * t / rate)
         + 3000 * np.sin(2 * np.pi * 97 * t / rate)
@@ -201,6 +201,28 @@ def main() -> None:
     dec = decode_flac(flac, backend="native")
     roundtrip_ok = roundtrip_ok and bool(dec.md5_ok)
 
+    # ---- wide-symbol verify (real-chip leg of the deposit prefix-sum
+    # precision regression, tests/test_device_vs_golden.py
+    # ::test_wide_rice_symbol_ragged_tail): a lone impulse over
+    # near-silence in config 1's OWN ragged tail (same n -> same
+    # compiled programs, no new shapes). The tail's ctz partition clamp
+    # makes Rice beat escape on a >1000-bit unary quotient; any bf16
+    # rounding in the MXU cumsum corrupts the stream and fails MD5. ----
+    n_total = int(seconds * 44100)
+    tail = n_total % BLOCK
+    ws = np.zeros((2, n_total), dtype=np.int64)
+    if tail >= 64:
+        base = n_total - tail
+        ws[0, base + tail // 3] = 2000
+        ws[1, base + (2 * tail) // 3] = -1500
+    ws_buf = io.BytesIO()
+    from zigflac_tpu.wav import write_wav
+
+    write_wav(ws_buf, ws, 44100, 16)
+    ws_flac = encode_wav_bytes(ws_buf.getvalue(), backend="device")
+    ws_dec = decode_flac(ws_flac, backend="native")
+    wide_symbol_ok = bool(ws_dec.md5_ok)
+
     pcm_bytes = seconds * 44100 * 2 * 2
     result = {
         "metric": "wav2flac 16-bit/44.1kHz stereo encode speed (device backend, end-to-end)",
@@ -239,6 +261,7 @@ def main() -> None:
                     "native_x_realtime": round(dec_x, 1),
                     "md5_ok": roundtrip_ok,
                 },
+                "wide_symbol_ok": wide_symbol_ok,
             },
         },
     }

@@ -232,3 +232,29 @@ def test_speculative_sweep_detection_and_24bit_identity():
     samples = np.stack([x, -x])
     g, d = run_both(samples, 24, rate=96000)
     assert_identical(g, d)
+
+
+def test_wide_rice_symbol_ragged_tail():
+    """A >256-bit Rice symbol survives the full decision path: a lone
+    impulse over near-silence in a ragged tail (block 3388 = 4*847 ->
+    ctz clamps partition order to 2, partitions >= 847 samples, so the
+    escape threshold 847*15 bits exceeds the ~1.5k-bit unary quotient
+    and Rice wins). Regression for the deposit prefix sum's matmul
+    precision: TPU default matmul precision truncates f32 operands to
+    bfloat16, which rounds any symbol width above 256 bits —
+    _cumsum_bits_exact must run its dot at Precision.HIGHEST
+    (ops/bitpack.py). Exact on the CPU suite either way; the real-chip
+    leg is bench.py's wide-symbol verify on the same tail shape."""
+    from zigflac_tpu.models.encoder import Encoder
+
+    B = 4096
+    cfg = EncoderConfig(block_size=B)
+    n = B + 3388
+    samples = np.zeros((2, n), dtype=np.int64)
+    samples[0, B + 1200] = 2000
+    samples[1, B + 2500] = -1500
+    info = StreamInfo(44100, 2, 16, n, B, B)
+    g = Encoder(cfg, 16, backend="golden").encode_stream(samples, info)
+    info2 = StreamInfo(44100, 2, 16, n, B, B)
+    d = Encoder(cfg, 16, backend="device").encode_stream(samples, info2)
+    assert g == d

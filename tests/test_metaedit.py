@@ -408,3 +408,52 @@ def test_application_block_builder_encode_time():
     assert blk[4:8] == b"riff" and blk[8:] == b"\x00\x01"
     with pytest.raises(ValueError):
         application_block(b"abc", b"", False)
+
+def test_application_set_duplicate_id_last_wins():
+    """Repeated --set-application with the SAME id keeps one block with
+    the last payload (metaflac set semantics), whether or not a block
+    with that id already exists; pre-existing duplicate blocks of a set
+    id collapse to one."""
+    flac = encode_wav_bytes(_wav_bytes(seed=37), backend="golden")
+    # no existing block: two specs for one id -> ONE block, last payload
+    out, plan = edit_metadata_bytes(
+        flac, set_applications=[(b"Xabc", b"a"), (b"Xabc", b"b")])
+    assert plan.applications_set == 1
+    assert _app_ids(out) == [b"Xabc"]
+    bodies = {bytes(b[:4]): bytes(b[4:]) for t, b in metadata_blocks(out)
+              if t == BlockType.Application}
+    assert bodies[b"Xabc"] == b"b"
+    # a stream that genuinely carries TWO Xabc blocks (encode-time
+    # extra_metadata imposes no uniqueness): set collapses them to one
+    from zigflac_tpu.metadata import application_block
+
+    dup_stream = encode_wav_bytes(
+        _wav_bytes(seed=37), backend="golden",
+        extra_metadata=[application_block(b"Xabc", b"one", False),
+                        application_block(b"Xabc", b"two", False)])
+    assert _app_ids(dup_stream) == [b"Xabc", b"Xabc"]
+    out_dup2, plan2 = edit_metadata_bytes(
+        dup_stream, set_applications=[(b"Xabc", b"final")])
+    assert plan2.applications_set == 1
+    assert _app_ids(out_dup2) == [b"Xabc"]
+    bodies2 = {bytes(b[:4]): bytes(b[4:])
+               for t, b in metadata_blocks(out_dup2)
+               if t == BlockType.Application}
+    assert bodies2[b"Xabc"] == b"final"
+    from zigflac_tpu.decoder import verify_flac
+
+    assert verify_flac(out_dup2)
+
+
+def test_cli_remove_application_non_ascii_id(tmp_path, capsys):
+    """--edit --remove-application with a non-ASCII id is a clean exit-1
+    error, not a UnicodeEncodeError traceback."""
+    from zigflac_tpu.cli import main
+
+    wav = tmp_path / "in.wav"
+    wav.write_bytes(_wav_bytes(seconds=0.4, seed=39))
+    out = tmp_path / "out.flac"
+    assert main([str(wav), str(out), "--backend", "golden"]) == 0
+    assert main([str(out), "--edit",
+                 "--remove-application", "Zté"]) == 1
+    assert "ASCII" in capsys.readouterr().err

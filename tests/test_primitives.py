@@ -171,3 +171,27 @@ def test_utf8_frame_number_roundtrip():
         write_frame_header(w, True, 4096, 44100, 1, 16, n)
         r = BitReader(w.getvalue(), 32)
         assert _read_utf8_number(r) == n
+
+
+def test_cumsum_bits_exact_wide_symbols():
+    """_cumsum_bits_exact must be exact for symbol widths ABOVE 256 bits
+    (a long unary quotient on one impulsive residual). The MXU form runs
+    its dot at Precision.HIGHEST because TPU default precision truncates
+    f32 operands to bfloat16 (8 mantissa bits) — widths like 513 would
+    silently round, shifting every later deposit offset. On the
+    CPU-forced suite this pins the blocked-matmul plumbing; on real TPU
+    the same function runs inside every deposit program."""
+    import jax.numpy as jnp
+    from zigflac_tpu.ops.bitpack import _cumsum_bits_exact
+
+    rng = np.random.default_rng(123)
+    nb = rng.integers(0, 20, size=(4, 1000)).astype(np.int32)
+    # odd widths straddling bf16-representability limits, off-lane-grid
+    nb[0, 37] = 513
+    nb[1, 129] = 257
+    nb[2, 500] = 4095
+    nb[3, 999] = 100003
+    got = np.asarray(_cumsum_bits_exact(jnp.asarray(nb)))
+    want = np.cumsum(nb, axis=1, dtype=np.int64)
+    assert want.max() < (1 << 24)
+    np.testing.assert_array_equal(got, want.astype(np.int32))

@@ -510,6 +510,11 @@ def _edit_main(args) -> int:
             return 2
 
     try:
+        remove_apps = [a.encode("ascii") for a in args.remove_applications]
+    except UnicodeEncodeError as e:
+        print(f"error: application IDs must be ASCII: {e}", file=sys.stderr)
+        return 1
+    try:
         if args.export_picture:
             with open(args.input, "rb") as f:
                 pics = export_pictures(f.read())
@@ -534,8 +539,7 @@ def _edit_main(args) -> int:
             remove_pictures=args.remove_pictures,
             padding=args.padding,
             set_applications=set_apps,
-            remove_applications=[a.encode("ascii")
-                                 for a in args.remove_applications],
+            remove_applications=remove_apps,
             cuesheet=cuesheet_text,
             remove_cuesheet=args.remove_cuesheet,
         )

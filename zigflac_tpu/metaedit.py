@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import tempfile
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 from .metadata import BlockType, block_header_byte, picture_block
 
@@ -154,13 +154,14 @@ def _edit_blocks(
     for name, _ in add_tags:
         if "=" in name:
             raise MetaEditError(f"tag name contains '=': {name!r}")
-    set_apps: List[Tuple[bytes, bytes]] = []
+    # one block per id, last spec wins (metaflac-style set semantics)
+    set_apps: Dict[bytes, bytes] = {}
     for app_id, app_data in set_applications:
         if len(app_id) != 4:
             raise MetaEditError(
                 f"APPLICATION id must be exactly 4 bytes, got {app_id!r}"
             )
-        set_apps.append((bytes(app_id), bytes(app_data)))
+        set_apps[bytes(app_id)] = bytes(app_data)
     remove_apps = {bytes(a) for a in remove_applications}
     for app_id in remove_apps:
         if len(app_id) != 4:
@@ -199,10 +200,10 @@ def _edit_blocks(
             if app_id in remove_apps:
                 plan.applications_removed += 1
                 continue
-            new_data = next(
-                (d for i, d in set_apps if i == app_id), None)
-            if new_data is not None:
-                out.append((btype, app_id + new_data))  # same slot
+            if app_id in set_apps:
+                if app_id in replaced_apps:
+                    continue  # collapse duplicates of a set id
+                out.append((btype, app_id + set_apps[app_id]))  # same slot
                 replaced_apps.add(app_id)
                 plan.applications_set += 1
                 continue
@@ -217,7 +218,7 @@ def _edit_blocks(
                 continue
         out.append((btype, body))  # duplicate VC blocks pass untouched
 
-    for app_id, app_data in set_apps:
+    for app_id, app_data in set_apps.items():
         if app_id not in replaced_apps:
             out.append((int(BlockType.Application), app_id + app_data))
             plan.applications_set += 1

@@ -438,7 +438,17 @@ def _cumsum_bits_exact(nb: jnp.ndarray) -> jnp.ndarray:
     total bit count (< 2^19 even for depth-32 stereo verbatim at block
     32768, far under f32's 2^24 exact-integer range), so each f32
     product/add is an exactly-representable integer. Callers gate on a
-    static frame-bit bound and fall back to jnp.cumsum past 2^24."""
+    static frame-bit bound and fall back to jnp.cumsum past 2^24.
+
+    Precision note: the dot MUST run at Precision.HIGHEST. TPU default
+    matmul precision truncates f32 operands to bfloat16 (8 mantissa
+    bits), which rounds any single symbol width above 256 bits — a
+    legitimate case (one impulsive residual can carry a unary quotient
+    of hundreds of bits while the partition still prefers Rice over
+    escape), and one the CPU-forced test suite can never catch because
+    CPU f32 dots are exact. HIGHEST (bf16_6x) splits each operand into
+    three bf16 terms; every split term, partial product (tri is 0/1),
+    and f32 partial sum is then an exact integer < 2^24."""
     n, s = nb.shape
     blk = 128
     sp = -(-s // blk) * blk
@@ -448,7 +458,10 @@ def _cumsum_bits_exact(nb: jnp.ndarray) -> jnp.ndarray:
     xb = x.reshape(n, sp // blk, blk)
     tri = jnp.triu(jnp.ones((blk, blk), jnp.float32))  # tri[i,j]=1 iff i<=j
     inner = jax.lax.dot_general(
-        xb, tri, (((2,), (0,)), ((), ()))
+        xb,
+        tri,
+        (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
     )  # [n, nblk, blk]: inclusive cumsum within each block
     bsum = inner[..., -1]
     offs = jnp.cumsum(bsum, axis=1) - bsum  # [n, nblk] exclusive, tiny
