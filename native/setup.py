@@ -18,7 +18,9 @@ setup(
         Extension(
             "_zf_native",
             sources=[os.path.join(here, "zf_native.cpp")],
-            extra_compile_args=["-O3", "-std=c++17", "-march=native"],
+            extra_compile_args=["-O3", "-std=c++17", "-march=native",
+                                "-pthread"],
+            extra_link_args=["-pthread"],
             language="c++",
         )
     ],

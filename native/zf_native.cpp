@@ -16,8 +16,10 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 // ---------------------------------------------------------------------------
@@ -985,59 +987,67 @@ static PyObject* py_synthesize(PyObject*, PyObject* args) {
   return out;
 }
 
-// decode_frames_pcm(data, start, max_frames, sinfo_depth, channels)
-//   -> (nframes, end_pos, block_size, pcm_bytes, crc_bad_index, maxabs)
-// Fused single-pass decode: parse + IIR synthesis + stereo recombination +
-// interleaved little-endian WAV-container PCM emission, one frame at a time
-// in cache-resident buffers. This is the all-native flac2wav hot path — it
-// replaces the parse_frames -> synthesize -> numpy-serialize pipeline (three
-// full passes over [n, C, B] int64 arrays) with one pass that only ever
-// touches the 10x smaller container-width output.
-//   pcm_bytes: [m, C] samples, stride (depth+7)/8 bytes LE, left-justified
-//     for non-byte-aligned depths, +128 offset for the 1-byte container
+// ---------------------------------------------------------------------------
+// Fused frame-span decode — shared by the serial entry (decode_frames_pcm)
+// and the frame-parallel workers (decode_frames_pcm_mt). One pass per frame:
+// parse + IIR synthesis + stereo recombination + interleaved little-endian
+// WAV-container PCM emission in cache-resident buffers (replaces the
+// parse_frames -> synthesize -> numpy-serialize pipeline's three full passes
+// over [n, C, B] int64 arrays with one pass that only ever touches the 10x
+// smaller container-width output).
+//   pcm: [m, C] samples, stride (depth+7)/8 bytes LE, left-justified for
+//     non-byte-aligned depths, +128 offset for the 1-byte container
 //     (exactly wav.wav_pcm_bytes' layout).
-//   crc_bad_index: first frame with a CRC-8/CRC-16 mismatch, or -1.
-//   maxabs: max |sample| seen (caller guards synthesis divergence).
-static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
-  Py_buffer buf;
-  Py_ssize_t start, max_frames;
-  int sinfo_depth, channels;
-  if (!PyArg_ParseTuple(args, "y*nnii", &buf, &start, &max_frames,
-                        &sinfo_depth, &channels))
-    return nullptr;
-  using namespace frameparse;
-  const uint8_t* data = (const uint8_t*)buf.buf;
-  size_t len = (size_t)buf.len;
+// Per-frame end positions / CRC flags / max|sample| are recorded so the
+// parallel stitcher can truncate and chain spans exactly.
+// ---------------------------------------------------------------------------
+struct SpanAcc {
+  std::vector<uint8_t> pcm;     // container-serialized PCM, frame-major
+  std::vector<size_t> fend;     // byte position just past frame i's CRC-16
+  std::vector<uint8_t> fcrc;    // frame i header CRC-8 + frame CRC-16 good
+  std::vector<uint64_t> fmax;   // max |sample| within frame i
+  size_t start = 0, pos = 0;
+  int batch_bs = -1;            // block size locked by the first frame
+  int nframes = 0;
+  const char* err = nullptr;    // set when parsing stopped on a bad frame
+};
 
-  std::vector<uint8_t> pcm;
+// Decode consecutive same-block-size frames from byte `start`, stopping at
+// `stop_at` (a worker's span bound), on a block-size change (tail frame), a
+// parse error, EOF, or the frame budget. `forced_bs` < 0 lets the first
+// frame lock the block size (the serial entry); workers and serial resumes
+// pass the already-known batch block size so a differing frame stops the
+// span exactly like the serial loop would.
+static void decode_span(const uint8_t* data, size_t len, size_t start,
+                        Py_ssize_t max_frames, int sinfo_depth, int channels,
+                        size_t stop_at, int forced_bs, SpanAcc& acc) {
+  using namespace frameparse;
+  acc.start = start;
+  acc.batch_bs = forced_bs;
   std::vector<int64_t> vals;   // [C * B] per-frame synthesis buffer
   int64_t qco[8 * 32];         // up to 8 channels
   int32_t sow[8 * 3];
-  int batch_bs = -1;
-  size_t pos = (size_t)start;
-  int nframes = 0;
-  Py_ssize_t crc_bad = -1;
-  uint64_t maxabs = 0;
-  const char* err = nullptr;
   const int nb = (sinfo_depth + 7) / 8;
   const int pad = 8 * nb - sinfo_depth;
+  size_t pos = start;
+  if (acc.batch_bs > 0) vals.resize((size_t)channels * acc.batch_bs);
 
-  Py_BEGIN_ALLOW_THREADS
-  while (nframes < max_frames && pos + 2 <= len) {
+  while ((Py_ssize_t)acc.nframes < max_frames && pos + 2 <= len &&
+         pos < stop_at) {
     BitRd r(data, len, pos * 8);
     FrameHdr h;
-    err = parse_frame_header(r, data, pos, sinfo_depth, channels, h);
-    if (err) break;
-    if (batch_bs < 0) {
-      batch_bs = h.bs;
-      vals.resize((size_t)channels * batch_bs);
-      pcm.reserve((size_t)max_frames * channels * batch_bs * nb);
-    } else if (h.bs != batch_bs) {
-      err = nullptr;
-      break;  // tail frame: next call handles it
+    acc.err = parse_frame_header(r, data, pos, sinfo_depth, channels, h);
+    if (acc.err) break;
+    if (acc.batch_bs < 0) {
+      acc.batch_bs = h.bs;
+      vals.resize((size_t)channels * acc.batch_bs);
+      Py_ssize_t cap = max_frames < 4096 ? max_frames : 4096;
+      acc.pcm.reserve((size_t)cap * channels * acc.batch_bs * nb);
+    } else if (h.bs != acc.batch_bs) {
+      break;  // tail frame: the caller's next call handles it
     }
     const int C = channels;
-    const int B = batch_bs;
+    const int B = acc.batch_bs;
 
     bool frame_ok = true;
     for (int ch = 0; ch < C && frame_ok; ch++) {
@@ -1054,14 +1064,13 @@ static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
         s[0] = o.shift; s[1] = o.order; s[2] = o.wasted;
       }
     }
-    if (!frame_ok) { err = "bad subframe"; break; }
+    if (!frame_ok) { acc.err = "bad subframe"; break; }
     r.align_byte();
     size_t body_end = r.bitpos() >> 3;
-    if (body_end + 2 > len) { err = "truncated frame"; break; }
+    if (body_end + 2 > len) { acc.err = "truncated frame"; break; }
     uint16_t c16 = crc16_update(0, data + pos, body_end - pos);
     uint32_t got16 = r.read(16);
     bool crc_good = h.crc8_ok && r.ok && got16 == c16;
-    if (!crc_good && crc_bad < 0) crc_bad = nframes;
 
     // in-place IIR synthesis per channel (cache-resident: C*B int64)
     for (int ch = 0; ch < C; ch++) {
@@ -1092,16 +1101,17 @@ static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
     }
 
     // interleave + serialize to the WAV container in one pass
-    size_t obase = pcm.size();
-    pcm.resize(obase + (size_t)B * C * nb);
-    uint8_t* dst = pcm.data() + obase;
+    uint64_t fm = 0;
+    size_t obase = acc.pcm.size();
+    acc.pcm.resize(obase + (size_t)B * C * nb);
+    uint8_t* dst = acc.pcm.data() + obase;
     if (nb == 2 && pad == 0) {  // 16-bit fast path (the common case)
       int16_t* d16 = (int16_t*)dst;
       for (int i = 0; i < B; i++)
         for (int ch = 0; ch < C; ch++) {
           int64_t v = vals[(size_t)ch * B + i];
           uint64_t a = (uint64_t)(v < 0 ? -v : v);
-          if (a > maxabs) maxabs = a;
+          if (a > fm) fm = a;
           d16[(size_t)i * C + ch] = (int16_t)v;
         }
     } else {
@@ -1109,28 +1119,204 @@ static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
         for (int ch = 0; ch < C; ch++) {
           int64_t v = vals[(size_t)ch * B + i];
           uint64_t a = (uint64_t)(v < 0 ? -v : v);
-          if (a > maxabs) maxabs = a;
+          if (a > fm) fm = a;
           uint64_t u = (uint64_t)(v << pad) + (nb == 1 ? 128u : 0u);
           for (int by = 0; by < nb; by++) *dst++ = (uint8_t)(u >> (8 * by));
         }
     }
 
     pos = body_end + 2;
-    nframes++;
+    acc.fend.push_back(pos);
+    acc.fcrc.push_back(crc_good ? 1 : 0);
+    acc.fmax.push_back(fm);
+    acc.nframes++;
   }
-  Py_END_ALLOW_THREADS
+  acc.pos = pos;
+}
 
-  if (nframes == 0 && err) {
-    PyErr_SetString(PyExc_ValueError, err);
-    PyBuffer_Release(&buf);
+// Scan [from, to) for plausible frame starts: sync code + a fully parsed
+// header whose CRC-8 checks out. False positives (Rice data that happens to
+// look like a valid header) survive at ~2^-22 per byte; the stitcher below
+// verifies every span chains exactly and falls back to serial decode from
+// the last verified boundary, so a false candidate costs time, never bytes.
+static void scan_sync(const uint8_t* data, size_t len, size_t from, size_t to,
+                      int sinfo_depth, int channels,
+                      std::vector<size_t>& out) {
+  using namespace frameparse;
+  if (to > len) to = len;
+  if (to < 2) return;
+  for (size_t p = from; p + 2 <= to; p++) {
+    if (data[p] != 0xFF || (data[p + 1] & 0xFC) != 0xF8) continue;
+    BitRd r(data, len, p * 8);
+    FrameHdr h;
+    if (parse_frame_header(r, data, p, sinfo_depth, channels, h) == nullptr &&
+        h.crc8_ok)
+      out.push_back(p);
+  }
+}
+
+// Package a decoded span as the public result tuple:
+//   (nframes, end_pos, block_size, pcm_bytes, crc_bad_index, maxabs)
+//   crc_bad_index: first frame with a CRC-8/CRC-16 mismatch, or -1.
+//   maxabs: max |sample| seen (caller guards synthesis divergence).
+static PyObject* span_result(const SpanAcc& acc) {
+  Py_ssize_t crc_bad = -1;
+  uint64_t maxabs = 0;
+  for (int i = 0; i < acc.nframes; i++) {
+    if (!acc.fcrc[i] && crc_bad < 0) crc_bad = i;
+    if (acc.fmax[i] > maxabs) maxabs = acc.fmax[i];
+  }
+  PyObject* pb = PyBytes_FromStringAndSize((const char*)acc.pcm.data(),
+                                           (Py_ssize_t)acc.pcm.size());
+  return Py_BuildValue("(nnnNnK)", (Py_ssize_t)acc.nframes,
+                       (Py_ssize_t)acc.pos,
+                       (Py_ssize_t)(acc.batch_bs < 0 ? 0 : acc.batch_bs), pb,
+                       crc_bad, (unsigned long long)maxabs);
+}
+
+// decode_frames_pcm(data, start, max_frames, sinfo_depth, channels)
+//   -> (nframes, end_pos, block_size, pcm_bytes, crc_bad_index, maxabs)
+// The all-native serial flac2wav hot path (see decode_span above).
+static PyObject* py_decode_frames_pcm(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  Py_ssize_t start, max_frames;
+  int sinfo_depth, channels;
+  if (!PyArg_ParseTuple(args, "y*nnii", &buf, &start, &max_frames,
+                        &sinfo_depth, &channels))
+    return nullptr;
+  SpanAcc acc;
+  Py_BEGIN_ALLOW_THREADS
+  decode_span((const uint8_t*)buf.buf, (size_t)buf.len, (size_t)start,
+              max_frames, sinfo_depth, channels, (size_t)buf.len, -1, acc);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  if (acc.nframes == 0 && acc.err) {
+    PyErr_SetString(PyExc_ValueError, acc.err);
     return nullptr;
   }
+  return span_result(acc);
+}
+
+// decode_frames_pcm_mt(data, start, max_frames, sinfo_depth, channels,
+//                      nthreads) -> same tuple as decode_frames_pcm.
+// Frame-parallel fused decode. FLAC frames are independent once their byte
+// boundaries are known, but a boundary only falls out of a full parse — so
+// workers start at *candidate* boundaries (sync code + valid CRC-8 header,
+// scan_sync above) and the stitcher verifies the spans chain exactly
+// (worker t's end byte == worker t+1's start byte). Any mismatch — a false
+// sync, a tail frame, a parse error — discards the unverified suffix and
+// re-decodes serially from the last verified byte, so the result is
+// byte-identical to the serial path by construction. (Tests force 2-3
+// threads on the 1-core CI host for correctness; the speedup target is real
+// multi-core hosts — ROADMAP item 4.)
+static PyObject* py_decode_frames_pcm_mt(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  Py_ssize_t start, max_frames;
+  int sinfo_depth, channels, nthreads;
+  if (!PyArg_ParseTuple(args, "y*nniii", &buf, &start, &max_frames,
+                        &sinfo_depth, &channels, &nthreads))
+    return nullptr;
+  const uint8_t* data = (const uint8_t*)buf.buf;
+  const size_t len = (size_t)buf.len;
+  SpanAcc out;
+  Py_BEGIN_ALLOW_THREADS
+  bool done = false;
+  if (nthreads > 1 && max_frames > 1) {
+    // one serial frame to learn the block size + a frame-size estimate
+    SpanAcc probe;
+    decode_span(data, len, (size_t)start, 1, sinfo_depth, channels, len, -1,
+                probe);
+    if (probe.nframes == 1) {
+      const int gbs = probe.batch_bs;
+      const int nb = (sinfo_depth + 7) / 8;
+      const size_t stride = (size_t)gbs * channels * nb;
+      // scan window: a generous bound on the batch's byte extent from the
+      // first frame's size (underestimating only costs parallelism — the
+      // serial finish below covers whatever the spans don't)
+      const size_t f0 = probe.fend[0] - (size_t)start;
+      const Py_ssize_t mf = max_frames < 1000000 ? max_frames : 1000000;
+      size_t scan_to =
+          (size_t)start + (size_t)mf * (f0 + f0 / 2 + 64) + 4096;
+      if (scan_to > len || scan_to < (size_t)start) scan_to = len;
+      std::vector<size_t> cand;
+      scan_sync(data, len, (size_t)start + 1, scan_to, sinfo_depth, channels,
+                cand);
+      std::vector<size_t> bnd{(size_t)start};
+      for (int t = 1; t < nthreads; t++) {
+        size_t target = (size_t)start +
+                        (scan_to - (size_t)start) * (size_t)t / (size_t)nthreads;
+        auto it = std::lower_bound(cand.begin(), cand.end(), target);
+        if (it == cand.end()) break;
+        if (*it > bnd.back()) bnd.push_back(*it);
+      }
+      const int W = (int)bnd.size();
+      if (W > 1) {
+        std::vector<SpanAcc> accs(W);
+        std::vector<std::thread> th;
+        for (int t = 0; t < W; t++) {
+          const size_t b = bnd[t];
+          const size_t e = t + 1 < W ? bnd[t + 1] : len;
+          SpanAcc* acc = &accs[t];
+          th.emplace_back([=]() {
+            decode_span(data, len, b, max_frames, sinfo_depth, channels, e,
+                        gbs, *acc);
+          });
+        }
+        for (auto& x : th) x.join();
+        // stitch: keep only spans that chain exactly onto verified bytes
+        out.start = (size_t)start;
+        out.batch_bs = gbs;
+        Py_ssize_t budget = max_frames;
+        size_t verified = (size_t)start;
+        for (int t = 0; t < W && budget > 0; t++) {
+          SpanAcc& a = accs[t];
+          if (a.start != verified || a.nframes == 0 || a.batch_bs != gbs)
+            break;
+          const Py_ssize_t take =
+              (Py_ssize_t)a.nframes < budget ? a.nframes : budget;
+          out.pcm.insert(out.pcm.end(), a.pcm.begin(),
+                         a.pcm.begin() + (size_t)take * stride);
+          out.fend.insert(out.fend.end(), a.fend.begin(),
+                          a.fend.begin() + take);
+          out.fcrc.insert(out.fcrc.end(), a.fcrc.begin(),
+                          a.fcrc.begin() + take);
+          out.fmax.insert(out.fmax.end(), a.fmax.begin(),
+                          a.fmax.begin() + take);
+          out.nframes += (int)take;
+          budget -= take;
+          verified = out.fend.back();
+        }
+        out.pos = verified;
+        if (budget > 0) {
+          // serial finish from the last verified boundary: reproduces every
+          // serial stop condition (tail frame, parse error, EOF, budget)
+          SpanAcc tail;
+          decode_span(data, len, verified, budget, sinfo_depth, channels,
+                      len, out.nframes ? gbs : -1, tail);
+          out.pcm.insert(out.pcm.end(), tail.pcm.begin(), tail.pcm.end());
+          out.fcrc.insert(out.fcrc.end(), tail.fcrc.begin(),
+                          tail.fcrc.end());
+          out.fmax.insert(out.fmax.end(), tail.fmax.begin(),
+                          tail.fmax.end());
+          out.nframes += tail.nframes;
+          out.pos = tail.pos;
+          out.err = tail.err;
+          if (out.batch_bs < 0) out.batch_bs = tail.batch_bs;
+        }
+        done = true;
+      }
+    }
+  }
+  if (!done)
+    decode_span(data, len, (size_t)start, max_frames, sinfo_depth, channels,
+                len, -1, out);
+  Py_END_ALLOW_THREADS
   PyBuffer_Release(&buf);
-  PyObject* pb = PyBytes_FromStringAndSize((const char*)pcm.data(),
-                                           (Py_ssize_t)pcm.size());
-  return Py_BuildValue("(nnnNnK)", (Py_ssize_t)nframes, (Py_ssize_t)pos,
-                       (Py_ssize_t)(batch_bs < 0 ? 0 : batch_bs), pb,
-                       crc_bad, (unsigned long long)maxabs);
+  if (out.nframes == 0 && out.err) {
+    PyErr_SetString(PyExc_ValueError, out.err);
+    return nullptr;
+  }
+  return span_result(out);
 }
 
 static PyMethodDef methods[] = {
@@ -1138,6 +1324,9 @@ static PyMethodDef methods[] = {
      "Ogg page CRC-32 (0x04C11DB7, non-reflected), slice-by-8"},
     {"parse_frames", py_parse_frames, METH_VARARGS,
      "batch-parse FLAC frames into device-synthesis form"},
+    {"decode_frames_pcm_mt", py_decode_frames_pcm_mt, METH_VARARGS,
+     "frame-parallel fused flac2wav decode (last arg: thread count); "
+     "byte-identical to decode_frames_pcm by construction"},
     {"decode_frames_pcm", py_decode_frames_pcm, METH_VARARGS,
      "fused parse+synthesize+serialize to interleaved WAV-container PCM"},
     {"synthesize", py_synthesize, METH_VARARGS,

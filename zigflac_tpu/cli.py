@@ -124,6 +124,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--verify", action="store_true",
         help="decode the output and verify CRCs + MD5 round-trip",
     )
+    p.add_argument(
+        "--threads", type=int, default=None, metavar="N",
+        help="native decode worker threads (default: CPU count); output is "
+        "byte-identical at any thread count",
+    )
     p.add_argument("--stats", action="store_true", help="print throughput stats")
     p.add_argument(
         "--tag", action="append", default=[], metavar="NAME=VALUE",
@@ -226,7 +231,7 @@ def _decode_main(args) -> int:
     try:
         info = decode_file(
             args.input, args.output, check_crc=True, verify=args.verify,
-            backend=backend,
+            backend=backend, threads=args.threads,
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -423,7 +428,7 @@ def _test_main(args) -> int:
     try:
         info = decode_file(
             args.input, os.devnull, check_crc=True, verify=True,
-            backend=backend,
+            backend=backend, threads=args.threads,
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -509,6 +509,7 @@ def decode_file(
     check_crc: bool = True,
     backend: str = "auto",
     verify: bool = False,
+    threads: int | None = None,
 ) -> StreamInfo:
     """Streaming flac2wav: decode a FLAC file to a PCM WAV with host memory
     bounded by one frame batch — the decode-side counterpart of the
@@ -519,14 +520,26 @@ def decode_file(
 
     Returns the STREAMINFO. Raises FlacDecodeError on CRC/MD5/format
     failure (``verify=True`` adds the MD5 check).
+
+    ``threads``: frame-parallel native decode worker count; ``None`` uses
+    the host CPU count. Frames are independent once their byte boundaries
+    are known, so workers speculatively start at sync-scan candidates and
+    the stitcher verifies the spans chain exactly, falling back to serial
+    decode from the last verified byte on any mismatch — the output is
+    byte-identical to single-threaded decode by construction.
     """
     import mmap
+    import os as _os
 
     from . import native as _native
     from .wav import reconstruct_raw_bytes, wav_header_bytes, wav_pcm_bytes
 
     backend = _resolve_backend(backend)
     fused = backend == "native" and hasattr(_native._n, "decode_frames_pcm")
+    if threads is None:
+        threads = _os.cpu_count() or 1
+    mt = (fused and threads > 1
+          and hasattr(_native._n, "decode_frames_pcm_mt"))
     with open(input_path, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         try:
@@ -566,12 +579,20 @@ def decode_file(
                         # serialization (the PCM bytes come out ready to
                         # write, and — for multi-byte containers — ready to
                         # MD5: reconstruct_raw_bytes == wav_pcm_bytes there)
-                        nfr, pos, _B, pcm, bad, maxabs = (
-                            _native._n.decode_frames_pcm(
-                                mm, pos, _BATCH_FRAMES, info.bit_depth,
-                                info.channels,
+                        if mt:
+                            nfr, pos, _B, pcm, bad, maxabs = (
+                                _native._n.decode_frames_pcm_mt(
+                                    mm, pos, _BATCH_FRAMES, info.bit_depth,
+                                    info.channels, threads,
+                                )
                             )
-                        )
+                        else:
+                            nfr, pos, _B, pcm, bad, maxabs = (
+                                _native._n.decode_frames_pcm(
+                                    mm, pos, _BATCH_FRAMES, info.bit_depth,
+                                    info.channels,
+                                )
+                            )
                         if nfr == 0:
                             break
                         if check_crc and bad >= 0:
