@@ -61,10 +61,24 @@ def try_decode(blob: bytes) -> str:
             f.write(blob)
         try:
             decode_file(p, os.path.join(td, "x.wav"), check_crc=True,
-                        verify=True, backend="native")
+                        verify=True, backend="native", threads=1)
             outcomes.append("native-ok")
         except OK_ERRORS:
             outcomes.append("native-err")
+        # frame-parallel path: same outcome AND byte-identical output
+        try:
+            decode_file(p, os.path.join(td, "mt.wav"), check_crc=True,
+                        verify=True, backend="native", threads=3)
+            outcomes.append("mt-ok")
+        except OK_ERRORS:
+            outcomes.append("mt-err")
+        assert outcomes[-1].replace("mt", "native") == outcomes[-2], (
+            f"serial/MT outcome mismatch: {outcomes[-2]} vs {outcomes[-1]}"
+        )
+        if outcomes[-1] == "mt-ok":
+            with open(os.path.join(td, "x.wav"), "rb") as a, open(
+                    os.path.join(td, "mt.wav"), "rb") as b:
+                assert a.read() == b.read(), "serial/MT byte mismatch"
     return "+".join(outcomes)
 
 
