@@ -1221,6 +1221,11 @@ static PyObject* py_decode_frames_pcm_mt(PyObject*, PyObject* args) {
   SpanAcc out;
   Py_BEGIN_ALLOW_THREADS
   bool done = false;
+  // clamp the user-controllable worker count: unbounded values risk
+  // std::system_error from std::thread under resource exhaustion (the cap
+  // stays well above any useful core count, and above the 2-16 range the
+  // fuzz sweep exercises on purpose even on 1-core hosts)
+  if (nthreads > 256) nthreads = 256;
   if (nthreads > 1 && max_frames > 1) {
     // one serial frame to learn the block size + a frame-size estimate
     SpanAcc probe;
@@ -1253,16 +1258,25 @@ static PyObject* py_decode_frames_pcm_mt(PyObject*, PyObject* args) {
       if (W > 1) {
         std::vector<SpanAcc> accs(W);
         std::vector<std::thread> th;
-        for (int t = 0; t < W; t++) {
-          const size_t b = bnd[t];
-          const size_t e = t + 1 < W ? bnd[t + 1] : len;
-          SpanAcc* acc = &accs[t];
-          th.emplace_back([=]() {
-            decode_span(data, len, b, max_frames, sinfo_depth, channels, e,
-                        gbs, *acc);
-          });
+        bool spawned = true;
+        try {
+          for (int t = 0; t < W; t++) {
+            const size_t b = bnd[t];
+            const size_t e = t + 1 < W ? bnd[t + 1] : len;
+            SpanAcc* acc = &accs[t];
+            th.emplace_back([=]() {
+              decode_span(data, len, b, max_frames, sinfo_depth, channels, e,
+                          gbs, *acc);
+            });
+          }
+        } catch (...) {
+          // std::thread construction can throw under resource exhaustion;
+          // join whatever started and fall back to the serial path (`out`
+          // is untouched here, so the fallback decodes from scratch)
+          spawned = false;
         }
         for (auto& x : th) x.join();
+        if (spawned) {
         // stitch: keep only spans that chain exactly onto verified bytes
         out.start = (size_t)start;
         out.batch_bs = gbs;
@@ -1294,6 +1308,8 @@ static PyObject* py_decode_frames_pcm_mt(PyObject*, PyObject* args) {
           decode_span(data, len, verified, budget, sinfo_depth, channels,
                       len, out.nframes ? gbs : -1, tail);
           out.pcm.insert(out.pcm.end(), tail.pcm.begin(), tail.pcm.end());
+          out.fend.insert(out.fend.end(), tail.fend.begin(),
+                          tail.fend.end());
           out.fcrc.insert(out.fcrc.end(), tail.fcrc.begin(),
                           tail.fcrc.end());
           out.fmax.insert(out.fmax.end(), tail.fmax.begin(),
@@ -1304,6 +1320,7 @@ static PyObject* py_decode_frames_pcm_mt(PyObject*, PyObject* args) {
           if (out.batch_bs < 0) out.batch_bs = tail.batch_bs;
         }
         done = true;
+        }  // if (spawned)
       }
     }
   }

@@ -7,6 +7,7 @@ out-of-bounds access in the native parser. Complements tools/fuzz_long.py
 Usage: python tools/fuzz_decode.py [n_mutations_per_seed]  (default 400)
 """
 import io
+import itertools
 import os
 import sys
 import tempfile
@@ -45,9 +46,14 @@ def make_seed_streams():
     return out
 
 
+_MT_THREADS = itertools.cycle((2, 3, 4, 6, 8, 12, 16))
+
+
 def try_decode(blob: bytes) -> str:
     """Decode a (possibly corrupt) blob through every public surface;
-    returns a short outcome tag. Raises only on a non-clean failure."""
+    returns a short outcome tag. Raises only on a non-clean failure.
+    The frame-parallel leg cycles worker counts over 2-16 so the sweep
+    exercises the stitcher at every boundary-split granularity."""
     outcomes = []
     try:
         dec = decode_flac(blob, check_crc=True)
@@ -68,7 +74,8 @@ def try_decode(blob: bytes) -> str:
         # frame-parallel path: same outcome AND byte-identical output
         try:
             decode_file(p, os.path.join(td, "mt.wav"), check_crc=True,
-                        verify=True, backend="native", threads=3)
+                        verify=True, backend="native",
+                        threads=next(_MT_THREADS))
             outcomes.append("mt-ok")
         except OK_ERRORS:
             outcomes.append("mt-err")

@@ -577,7 +577,27 @@ def _edit_main(args) -> int:
     return 0
 
 
+def _honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu wav2flac ...`` actually mean CPU: some
+    deployments pin a platform via an interpreter-startup sitecustomize
+    that imports jax before this process's environment is consulted, so
+    the env var alone is silently ignored. Re-assert the user's explicit
+    choice through jax.config before any device is touched."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # backend already initialized or jax unavailable: keep going
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     parser = build_parser()
     args = parser.parse_args(argv)
 

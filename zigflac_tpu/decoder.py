@@ -561,6 +561,15 @@ def decode_file(
             md5 = _native.Md5Stream() if verify else None
             total = 0
             nb = (info.bit_depth + 7) // 8
+            # MT path: a bigger per-call budget amortizes the per-batch
+            # sync scan + thread spawn (ADVICE r4); bounded so the batch's
+            # PCM buffer stays ~<=64 MB at the nominal 4096 block
+            batch_frames = _BATCH_FRAMES
+            if mt:
+                byte_cap = (64 << 20) // max(4096 * info.channels * nb, 1)
+                batch_frames = max(
+                    _BATCH_FRAMES, min(threads * _BATCH_FRAMES, byte_cap)
+                )
             try:
                 # raises ValueError when a (possibly corrupt) STREAMINFO
                 # claims more PCM than RIFF's u32 sizes can carry — keep
@@ -582,7 +591,7 @@ def decode_file(
                         if mt:
                             nfr, pos, _B, pcm, bad, maxabs = (
                                 _native._n.decode_frames_pcm_mt(
-                                    mm, pos, _BATCH_FRAMES, info.bit_depth,
+                                    mm, pos, batch_frames, info.bit_depth,
                                     info.channels, threads,
                                 )
                             )
