@@ -45,18 +45,27 @@ def main() -> None:
         print(f"h2d {mb:3d} MiB: {best:7.3f}s  {mb / best:7.1f} MB/s")
 
     # device-resident source for d2h tests: make it the OUTPUT of a tiny
-    # computation (matches production: the stream is a program output)
+    # computation (matches production: the stream is a program output).
+    # IMPORTANT: jax caches the host copy after the first np.asarray of an
+    # Array, so every timed rep must fetch a FRESH array (a fresh slice or
+    # a freshly recomputed source) or the number is a no-op read.
     total_mb = 12
     n = total_mb << 18  # i32 words
-    src = jnp.arange(n, dtype=jnp.int32) * jnp.int32(3)
-    src.block_until_ready()
+    base = jnp.arange(n, dtype=jnp.int32)
+    base.block_until_ready()
+
+    def fresh_src(k):
+        s = base * jnp.int32(3 + k)
+        s.block_until_ready()
+        return s
 
     # -- 2. d2h page-size sweep, sequential --
     for page_mb in (1, 2, 4, 8, 12):
         P = page_mb << 18
         npages = (n + P - 1) // P
         best = float("inf")
-        for _ in range(reps):
+        for r in range(reps):
+            src = fresh_src(r)
             t0 = _t()
             parts = [np.asarray(src[i * P:(i + 1) * P]) for i in range(npages)]
             best = min(best, _t() - t0)
@@ -65,11 +74,12 @@ def main() -> None:
               f"{total_mb / best:7.1f} MB/s")
 
     # -- 3. d2h overlapped: issue all async copies first --
-    for page_mb in (1, 2, 4):
+    for page_mb in (1, 2, 4, 6, 12):
         P = page_mb << 18
         npages = (n + P - 1) // P
         best = float("inf")
-        for _ in range(reps):
+        for r in range(reps):
+            src = fresh_src(10 + r)
             t0 = _t()
             slices = [src[i * P:(i + 1) * P] for i in range(npages)]
             for s in slices:
@@ -80,9 +90,10 @@ def main() -> None:
         print(f"d2h ovl  page={page_mb:2d} MiB x{npages}: {best:7.3f}s "
               f"{total_mb / best:7.1f} MB/s")
 
-    # single-shot whole-array fetch
+    # single-shot whole-array fetch (fresh array per rep)
     best = float("inf")
-    for _ in range(reps):
+    for r in range(reps):
+        src = fresh_src(20 + r)
         t0 = _t()
         np.asarray(src)
         best = min(best, _t() - t0)

@@ -97,6 +97,31 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
 
 
+@lru_cache(maxsize=16)
+def _dyn_page(total_words: int, page_words: int):
+    """Jitted dynamic-offset page fetch: ONE compiled program per stream
+    shape serves every tail offset (static-slice programs would recompile
+    per distinct offset — a fresh multi-minute remote compile each run on
+    the axon relay)."""
+
+    @partial(jax.jit, static_argnums=())
+    def fetch(stream, start):
+        return jax.lax.dynamic_slice(stream, (start,), (page_words,))
+
+    return fetch
+
+
+def _prefetch_meta(meta) -> None:
+    """Start the d2h copy of a batch's metadata vector as soon as the
+    program is dispatched: by collect time the ~8 KB row is already host
+    resident, saving one ~30-50 ms relay round trip per batch. Sharded /
+    multi-host metas may not be host-addressable as one array — skip."""
+    try:
+        meta.copy_to_host_async()
+    except Exception:
+        pass
+
+
 def _collect_aligned(out, nreal: int, frame_cap: int):
     """Fetch one batch's word-aligned compact stream and tighten it to the
     exact frame-byte concatenation. None on capacity overflow."""
@@ -121,15 +146,48 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
         return None
     # fetch only the used pages (fixed-size slices keep shapes static, so
     # the page-slice programs compile once; d2h moves ~actual bytes).
-    # Page size matters on thin links: per-fetch dispatch costs ~50ms, so
-    # 4MB pages sustain ~20MB/s where 256KB pages manage ~7.
+    # Pages are fetched OVERLAPPED: issue copy_to_host_async on every page
+    # first, then consume — the relay pipelines concurrent streams at
+    # ~40 MB/s where sequential 4 MB fetches sustain ~31 and 1 MB pages
+    # ~19 (tools/probe_transfer.py, r5). Page size is a weak knob once
+    # overlapped; 4 MB keeps the slice-program count tiny. The LAST
+    # partial page narrows to 1 MB dynamic-offset slices (one compiled
+    # program per stream shape, any offset) so the average fetch
+    # overshoot drops from ~2 MB (~50 ms of relay) to ~0.5.
     P = 1 << 20  # 1Mi words = 4 MB per page
-    npages = (need + P - 1) // P
-    if npages * P >= stream.shape[0]:
+    SP = 1 << 18  # 256Ki words = 1 MB tail pages
+    total = stream.shape[0]
+    if need >= total or total <= SP:
         sw = np.asarray(stream)[:need]
     else:
-        parts = [np.asarray(stream[i * P : (i + 1) * P]) for i in range(npages)]
-        sw = np.concatenate(parts)[:need]
+        import os
+
+        seq = os.environ.get("ZIGFLAC_FETCH_SEQ", "0") == "1"  # A/B knob
+        if seq:  # the pre-r5 strategy: whole 4 MB pages, blocking fetches
+            npages = (need + P - 1) // P
+            if npages * P >= total:
+                sw = np.asarray(stream)[:need]
+            else:
+                sw = np.concatenate(
+                    [np.asarray(stream[i * P : (i + 1) * P])
+                     for i in range(npages)]
+                )[:need]
+        else:
+            nfull = need // P
+            slices = [stream[i * P : (i + 1) * P] for i in range(nfull)]
+            drops = [0] * nfull
+            ds = _dyn_page(total, SP)
+            pos = nfull * P
+            while pos < need:
+                start = min(pos, total - SP)  # never slice past the end
+                slices.append(ds(stream, start))
+                drops.append(pos - start)
+                pos = start + SP
+            for s in slices:
+                s.copy_to_host_async()
+            sw = np.concatenate(
+                [np.asarray(s)[d:] for s, d in zip(slices, drops)]
+            )[:need]
     return assemble_ranges(sw.astype(">u4").tobytes(), woff, fsz), fsz
 
 
@@ -173,6 +231,7 @@ class DevicePipeline:
         info: StreamInfo,
         frame_numbers: np.ndarray | None = None,
         tail: np.ndarray | None = None,
+        overlap_work=None,
     ) -> Tuple[bytes, np.ndarray]:
         """[F, C, B] PCM int32 full frames -> (frame-stream bytes, sizes).
 
@@ -183,6 +242,9 @@ class DevicePipeline:
         full frames; its dispatch overlaps the main batches' collection, so
         the per-file tail adds no wall-clock on a busy pipeline
         (src/wav2flac.zig:64-75 encodes it as just another frame).
+        ``overlap_work`` is an optional host callback run after every batch
+        has been dispatched and before collection blocks — serial host work
+        (the raw-PCM MD5) rides the device-compute + d2h window for free.
         """
         f, c, B = frames.shape
         bs = self.batch_size
@@ -199,6 +261,8 @@ class DevicePipeline:
             pending.append(
                 self.dispatch_tail(tail, first_frame_number + f, info)
             )
+        if overlap_work is not None:
+            overlap_work()
 
         # collect in order; d2h of batch k overlaps compute of k+1..
         chunks: List[bytes] = []
@@ -275,6 +339,7 @@ class DevicePipeline:
             fn, frame_cap = self._compact_fn(c, B, rec["rate"], 0,
                                              chunk.shape[0])
             out = fn(jnp.asarray(self._feed(chunk)), jnp.asarray(rec["fns"]))
+        _prefetch_meta(out[1])
         rec["out"] = out
         rec["frame_cap"] = frame_cap
 
@@ -289,6 +354,7 @@ class DevicePipeline:
                "rate": info.sample_rate}
         fn, frame_cap = self._compact_fn(c, rem, info.sample_rate, 0, 1)
         rec["out"] = fn(jnp.asarray(self._feed(tchunk)), jnp.asarray(tfns))
+        _prefetch_meta(rec["out"][1])
         rec["frame_cap"] = frame_cap
         return rec
 

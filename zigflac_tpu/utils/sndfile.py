@@ -107,6 +107,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sf_close.argtypes = [ctypes.c_void_p]
         lib.sf_strerror.restype = ctypes.c_char_p
         lib.sf_strerror.argtypes = [ctypes.c_void_p]
+        lib.sf_command.restype = ctypes.c_int
+        lib.sf_command.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int
+        ]
         _lib = lib
         return _lib
     return None
@@ -157,12 +161,21 @@ def decode_flac(data: bytes, bit_depth: int) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(pcm), int(info.samplerate)
 
 
+SFC_SET_COMPRESSION_LEVEL = 0x1301
+
+
 def encode_flac(
-    samples: np.ndarray, sample_rate: int, bit_depth: int
+    samples: np.ndarray, sample_rate: int, bit_depth: int,
+    compression_level: Optional[int] = None,
 ) -> bytes:
     """Encode PCM with the canonical libFLAC (via libsndfile): independent
     encoder output for decoder validation. ``samples`` int32 [channels, n]
-    right-justified at ``bit_depth`` (8/16/24 supported by libFLAC 1.3)."""
+    right-justified at ``bit_depth`` (8/16/24 supported by libFLAC 1.3).
+
+    ``compression_level`` selects the canonical preset 0..8 (``flac -N``):
+    libsndfile maps its 0.0–1.0 knob to ``lrint(x * 8)`` (flac.c,
+    SFC_SET_COMPRESSION_LEVEL), so level N ships as N/8. None keeps the
+    library default (level 5)."""
     lib = load()
     if lib is None:
         raise RuntimeError("libsndfile unavailable")
@@ -181,6 +194,14 @@ def encode_flac(
             + lib.sf_strerror(None).decode(errors="replace")
         )
     try:
+        if compression_level is not None:
+            if not 0 <= compression_level <= 8:
+                raise ValueError(f"compression level {compression_level}")
+            knob = ctypes.c_double(compression_level / 8.0)
+            lib.sf_command(
+                h, SFC_SET_COMPRESSION_LEVEL, ctypes.byref(knob),
+                ctypes.sizeof(knob),
+            )
         # right-justified -> left-justified 32-bit interleaved
         inter = np.ascontiguousarray(
             (samples.T.astype(np.int32)) << np.int32(32 - bit_depth)
