@@ -40,6 +40,17 @@ from ..ops.header import HeaderStatic, header_static
 
 DEFAULT_BATCH = 1024
 
+# Relay/PCIe transfer accounting (bench.py's budget table): every dispatch
+# adds its input bytes, every collect its fetched bytes (stream pages +
+# metadata) and the fetch overshoot (page round-up past the needed words).
+TRANSFER_STATS = {"h2d_bytes": 0, "d2h_bytes": 0, "d2h_overshoot_bytes": 0}
+
+
+def reset_transfer_stats() -> dict:
+    for k in TRANSFER_STATS:
+        TRANSFER_STATS[k] = 0
+    return TRANSFER_STATS
+
 # Ragged tail frames at or above this size encode on device at their exact
 # block size (one extra compiled shape per distinct tail length, batch 1);
 # smaller tails go through the golden host oracle. 64 safely clears the
@@ -131,6 +142,7 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
 
     stream, meta = out
     meta = np.asarray(meta)  # single round trip: sizes + total + overflow
+    TRANSFER_STATS["d2h_bytes"] += meta.nbytes
     if meta[-1] != 0:
         return None  # a symbol group out-spanned its deposit window
     fsz = meta[:nreal].astype(np.int64)
@@ -157,8 +169,10 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
     P = 1 << 20  # 1Mi words = 4 MB per page
     SP = 1 << 18  # 256Ki words = 1 MB tail pages
     total = stream.shape[0]
+    fetched = need
     if need >= total or total <= SP:
         sw = np.asarray(stream)[:need]
+        fetched = total
     else:
         import os
 
@@ -167,11 +181,13 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
             npages = (need + P - 1) // P
             if npages * P >= total:
                 sw = np.asarray(stream)[:need]
+                fetched = total
             else:
                 sw = np.concatenate(
                     [np.asarray(stream[i * P : (i + 1) * P])
                      for i in range(npages)]
                 )[:need]
+                fetched = npages * P
         else:
             nfull = need // P
             slices = [stream[i * P : (i + 1) * P] for i in range(nfull)]
@@ -188,6 +204,9 @@ def _collect_aligned(out, nreal: int, frame_cap: int):
             sw = np.concatenate(
                 [np.asarray(s)[d:] for s, d in zip(slices, drops)]
             )[:need]
+            fetched = sum(s.shape[0] for s in slices)
+    TRANSFER_STATS["d2h_bytes"] += 4 * fetched
+    TRANSFER_STATS["d2h_overshoot_bytes"] += 4 * (fetched - need)
     return assemble_ranges(sw.astype(">u4").tobytes(), woff, fsz), fsz
 
 
@@ -219,7 +238,8 @@ class DevicePipeline:
 
     def _feed(self, chunk: np.ndarray) -> np.ndarray:
         if self.bit_depth <= 16:
-            return chunk.astype(np.int16)  # halves the h2d volume
+            chunk = chunk.astype(np.int16)  # halves the h2d volume
+        TRANSFER_STATS["h2d_bytes"] += chunk.nbytes
         return chunk
 
     # -- public API ---------------------------------------------------------

@@ -192,6 +192,7 @@ def rice_estimate(
     max_param: int,
     zz_bits: int = 32,
     speculate: bool = False,
+    spec_po: int = 6,
 ):
     """(bits u64, method i32, part_order i32, params u8[...,256], unsafe
     bool scalar) — the flake
@@ -285,17 +286,20 @@ def rice_estimate(
 
     # level-po partition sums are < 2^(log2(B) - po + zz_bits): levels at
     # or above proof_cut_po sweep in u32 (bit-identical, see docstring).
-    # Under ``speculate``, levels >= SPEC_PO also sweep in u32 with
+    # Under ``speculate``, levels >= spec_po also sweep in u32 with
     # dynamic detection: the coarse levels stay exact because (a) they are
-    # only 2^SPEC_PO - 1 of the 2^(po_top+1) - 1 columns (~12% of the
-    # sweep) and (b) ordinary loud 24-bit content really does push
-    # coarse-partition sums past 2^31 (128-sample noise partitions sit
-    # ~2^30.7), which would make the whole-batch fallback fire routinely;
-    # at 64-sample partitions the margin is ~2.5x and only adversarial
-    # content trips it.
+    # only 2^spec_po - 1 of the 2^(po_top+1) - 1 columns (~12% of the
+    # sweep at the default 6) and (b) ordinary loud 24-bit content really
+    # does push coarse-partition sums past 2^31 (128-sample noise
+    # partitions sit ~2^30.7), which would make the whole-batch fallback
+    # fire routinely; at 64-sample partitions the margin is ~2.5x and only
+    # adversarial content trips it. Callers whose residuals carry a
+    # tighter magnitude story (16-bit LPC: |zz| < 2^31 by the
+    # lpc_residuals proof, level-3 sums ~2^23 on real content with >100x
+    # margin to the detector) pass spec_po=3 — the u64 leg shrinks from
+    # 63 columns to 7, and a trip still only costs the exact re-encode.
     proof_cut_po = min(max(L + zz_bits - 31, 0), po_top + 1)
-    SPEC_PO = 6
-    cut_po = min(proof_cut_po, SPEC_PO) if speculate else proof_cut_po
+    cut_po = min(proof_cut_po, spec_po) if speculate else proof_cut_po
     cut = (1 << cut_po) - 1  # column offset of the first u32-swept level
     unsafe = jnp.zeros((), bool)
     if speculate and proof_cut_po > cut_po:
@@ -468,14 +472,7 @@ def analyze_planes(
     # wide (32-bit-depth) planes can push even fine-partition sums past
     # 2^31 on ordinary content, so speculation is limited to i32 planes
     speculate = speculate and not wide
-    rice_bits, method, part_order, params, sweep_unsafe = rice_estimate(
-        residuals, order, B, config.max_rice_order, max_param,
-        zz_bits=32 if wide else min(sample_size + 6, 32),
-        speculate=speculate,
-    )
-    # a wide-mode overflow disqualifies the fixed candidate entirely
-    rice_bits = jnp.where(ok, rice_bits, U64_MAX)
-    qcoeffs, qshift = zq, z32
+    fixed_zz_bits = 32 if wide else min(sample_size + 6, 32)
 
     if config.prediction == "lpc":
         # extension: ONE LPC candidate competes with the best fixed
@@ -511,11 +508,44 @@ def analyze_planes(
             sample_size=sample_size,
         )
         l_ok = l_okq & l_fits
-        l_bits, l_method, l_po, l_params, l_unsafe = rice_estimate(
-            l_res, l_order, B, config.max_rice_order, max_param,
-            speculate=speculate,
-        )
-        sweep_unsafe = sweep_unsafe | l_unsafe
+        if speculate and order.ndim == 1:
+            # ONE merged sweep over [fixed; lpc] rows (concatenated on the
+            # batch-minor axis): the zigzag + pyramid + k-sweep + level
+            # selection run as half the fusions of two separate calls —
+            # the LPC program is op-sequencing-bound, not byte-bound
+            # (BENCH.md r4 roofline). Row results are bit-identical to
+            # separate calls: both row groups share the same column split
+            # (16-bit: spec_po=3 == the fixed rows' proof cut; the
+            # detector covers every unproven u32 column, and provably-safe
+            # fixed rows can never trip it).
+            both = rice_estimate(
+                jnp.concatenate([residuals, l_res], axis=0),
+                jnp.concatenate([order, l_order], axis=0),
+                B, config.max_rice_order, max_param,
+                zz_bits=32, speculate=True,
+                spec_po=3 if sample_size <= 16 else 6,
+            )
+            m = order.shape[0]
+            rice_bits, l_bits = both[0][:m], both[0][m:]
+            method, l_method = both[1][:m], both[1][m:]
+            part_order, l_po = both[2][:m], both[2][m:]
+            params, l_params = both[3][:m], both[3][m:]
+            sweep_unsafe = both[4]
+        else:
+            rice_bits, method, part_order, params, sweep_unsafe = (
+                rice_estimate(
+                    residuals, order, B, config.max_rice_order, max_param,
+                    zz_bits=fixed_zz_bits, speculate=speculate,
+                )
+            )
+            l_bits, l_method, l_po, l_params, l_unsafe = rice_estimate(
+                l_res, l_order, B, config.max_rice_order, max_param,
+                speculate=speculate,
+            )
+            sweep_unsafe = sweep_unsafe | l_unsafe
+        # a wide-mode overflow disqualifies the fixed candidate entirely
+        rice_bits = jnp.where(ok, rice_bits, U64_MAX)
+        qcoeffs, qshift = zq, z32
         l_cost = l_bits + (
             jnp.uint64(9)
             + l_order.astype(jnp.uint64) * jnp.uint64(config.lpc_precision)
@@ -532,6 +562,13 @@ def analyze_planes(
         use_lpc = better
         pred_kind = jnp.where(use_lpc, 3, 2).astype(jnp.int32)
     else:
+        rice_bits, method, part_order, params, sweep_unsafe = rice_estimate(
+            residuals, order, B, config.max_rice_order, max_param,
+            zz_bits=fixed_zz_bits, speculate=speculate,
+        )
+        # a wide-mode overflow disqualifies the fixed candidate entirely
+        rice_bits = jnp.where(ok, rice_bits, U64_MAX)
+        qcoeffs, qshift = zq, z32
         use_lpc = jnp.zeros(batch_shape, bool)
         pred_kind = jnp.full(batch_shape, 2, jnp.int32)
 
