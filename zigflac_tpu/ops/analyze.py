@@ -193,6 +193,7 @@ def rice_estimate(
     zz_bits: int = 32,
     speculate: bool = False,
     spec_po: int = 6,
+    agg_proven_rows: int = 0,
 ):
     """(bits u64, method i32, part_order i32, params u8[...,256], unsafe
     bool scalar) — the flake
@@ -219,7 +220,20 @@ def rice_estimate(
     its capacity-ladder overflow, whose tier-1 re-encode sweeps exactly) —
     this wins the u32 sweep for 24-bit content and LPC candidates, whose
     residuals have no useful static bound, at the cost of a rare
-    re-encode on pathological content."""
+    re-encode on pathological content.
+
+    ``agg_proven_rows``: static count of LEADING batch rows (1-D batch,
+    row = minor axis) carrying an AGGREGATE magnitude proof: every
+    partition sum of those rows is < 2^31 at every level, so ALL their
+    columns sweep u32 exactly — no speculation, no detector. The proof
+    (analyze_planes): fixed residuals come from the first-min argmin over
+    orders 0..4 including order 0, so sum|res| <= sum|res_0| = sum|x| <
+    B * 2^sample_size, and the level-0 zigzag sum is < 2^(ceil_log2(B) +
+    sample_size + 1) — under 2^31 whenever ceil_log2(B) + sample_size
+    <= 30 (16-bit/4096: 2^29). When only a PREFIX of rows is proven (the
+    merged fixed+LPC sweep), the remaining rows still need ``speculate``:
+    the detector then covers every unproven column of the unproven rows
+    alone."""
     B = block_size
     po_top = min(max_rice_order, _ctz(B))
     K = max_param + 2  # sweep covers 0..max_param+1 (escape inclusive)
@@ -300,11 +314,21 @@ def rice_estimate(
     # 63 columns to 7, and a trip still only costs the exact re-encode.
     proof_cut_po = min(max(L + zz_bits - 31, 0), po_top + 1)
     cut_po = min(proof_cut_po, spec_po) if speculate else proof_cut_po
+    if agg_proven_rows:
+        assert order.ndim == 1, "aggregate row proof needs a 1-D batch"
+        if agg_proven_rows >= order.shape[0]:
+            proof_cut_po = cut_po = 0  # fully proven: pure exact u32 sweep
+        elif speculate:
+            cut_po = 0  # detector below covers the unproven-row suffix
+        else:
+            agg_proven_rows = 0  # partial proof needs detection to sweep u32
     cut = (1 << cut_po) - 1  # column offset of the first u32-swept level
     unsafe = jnp.zeros((), bool)
     if speculate and proof_cut_po > cut_po:
         hi = min((1 << proof_cut_po) - 1, s_all.shape[-2])
-        unsafe = (s_all[..., cut:hi, :] >= jnp.uint64(1 << 31)).any()
+        unsafe = (
+            s_all[..., cut:hi, agg_proven_rows:] >= jnp.uint64(1 << 31)
+        ).any()
     order_t = order[..., None, :]  # [..., 1, N]
     col_psz_j = jnp.asarray(col_psz)
     col_first_j = jnp.asarray(col_first)
@@ -473,6 +497,16 @@ def analyze_planes(
     # 2^31 on ordinary content, so speculation is limited to i32 planes
     speculate = speculate and not wide
     fixed_zz_bits = 32 if wide else min(sample_size + 6, 32)
+    # aggregate magnitude proof for the FIXED rows (rice_estimate
+    # docstring): chosen-order sum|res| <= order-0 sum|x| (first-min
+    # argmin), so every partition sum < 2^(ceil_log2(B) + sample_size + 1)
+    # — all levels sweep u32 exactly (no u64 leg, no detector) whenever
+    # that clears 2^31. 16-bit/4096 blocks: sums < 2^29.
+    agg_ok = (
+        not wide
+        and order.ndim == 1
+        and (B - 1).bit_length() + sample_size <= 30
+    )
 
     if config.prediction == "lpc":
         # extension: ONE LPC candidate competes with the best fixed
@@ -524,6 +558,7 @@ def analyze_planes(
                 B, config.max_rice_order, max_param,
                 zz_bits=32, speculate=True,
                 spec_po=3 if sample_size <= 16 else 6,
+                agg_proven_rows=order.shape[0] if agg_ok else 0,
             )
             m = order.shape[0]
             rice_bits, l_bits = both[0][:m], both[0][m:]
@@ -536,6 +571,7 @@ def analyze_planes(
                 rice_estimate(
                     residuals, order, B, config.max_rice_order, max_param,
                     zz_bits=fixed_zz_bits, speculate=speculate,
+                    agg_proven_rows=order.shape[0] if agg_ok else 0,
                 )
             )
             l_bits, l_method, l_po, l_params, l_unsafe = rice_estimate(
@@ -565,6 +601,7 @@ def analyze_planes(
         rice_bits, method, part_order, params, sweep_unsafe = rice_estimate(
             residuals, order, B, config.max_rice_order, max_param,
             zz_bits=fixed_zz_bits, speculate=speculate,
+            agg_proven_rows=order.shape[0] if agg_ok else 0,
         )
         # a wide-mode overflow disqualifies the fixed candidate entirely
         rice_bits = jnp.where(ok, rice_bits, U64_MAX)
