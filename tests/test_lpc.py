@@ -133,14 +133,19 @@ def test_fixed_levinson_shapes_and_silence(rng):
         lpc_candidate_orders,
     )
 
+    from zigflac_tpu.ops.lpc import select_lpc_candidate
+
     orders = lpc_candidate_orders(8)
     planes = np.zeros((3, 256), np.int32)  # silence: must not crash
     out = fixed_point_levinson(lag_sums_np(planes, 8), orders, 15, np)
     assert [o for o, *_ in out] == list(orders)
-    for o, qc, sh, ok, err in out:
-        assert qc.shape == (3, 32)
-        assert (qc[:, o:] == 0).all()
+    for o, C, cmax, ok, err in out:
+        assert C.shape == (3, 8)
+        assert (C[:, o:] == 0).all()
         assert not ok.any()  # silence disqualifies the LPC candidate
+    order, qc, shift, ok = select_lpc_candidate(out, 256, 15, np)
+    assert qc.shape == (3, 32)
+    assert (qc == 0).all() and not ok.any()
 
 
 def test_fixed_levinson_device_equals_numpy(rng):
@@ -165,17 +170,23 @@ def test_fixed_levinson_device_equals_numpy(rng):
         np.clip(1e6 * np.sin(2 * np.pi * 97 * t / 44100), -(2 ** 31), 2 ** 31 - 1),
         np.zeros(t.size),
     ]).astype(np.int64)
+    from zigflac_tpu.ops.lpc import select_lpc_candidate
+
     lags = lag_sums_np(sig, 12)
     ref = fixed_point_levinson(lags, orders, 14, np)
+    ref_sel = select_lpc_candidate(ref, 4096, 14, np)
 
     @jax.jit
     def dev(lg):
         outs = fixed_point_levinson(lg, orders, 14, jnp)
-        return [(q, s, k, e) for _o, q, s, k, e in outs]
+        sel = select_lpc_candidate(outs, 4096, 14, jnp)
+        return [(c, m, k, e) for _o, c, m, k, e in outs], sel
 
-    got = dev(jnp.asarray(lags))
-    for (o, qr, sr, kr, er), (qd, sd, kd, ed) in zip(ref, got):
-        np.testing.assert_array_equal(qr, np.asarray(qd)), o
-        np.testing.assert_array_equal(sr, np.asarray(sd))
+    got, got_sel = dev(jnp.asarray(lags))
+    for (o, cr, mr, kr, er), (cd, md, kd, ed) in zip(ref, got):
+        np.testing.assert_array_equal(cr, np.asarray(cd)), o
+        np.testing.assert_array_equal(mr, np.asarray(md))
         np.testing.assert_array_equal(kr, np.asarray(kd))
         np.testing.assert_array_equal(er, np.asarray(ed))
+    for r, d in zip(ref_sel, got_sel):
+        np.testing.assert_array_equal(r, np.asarray(d))

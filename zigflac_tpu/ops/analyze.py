@@ -65,6 +65,16 @@ class PlaneAnalysis(NamedTuple):
     sweep_unsafe: jnp.ndarray  # bool scalar: speculative u32 rice sweep hit
                                # a >=2^31 partition sum; results invalid,
                                # caller must re-encode exactly
+    res_lpc: jnp.ndarray = None  # i32 [..., B] LPC-candidate residuals, or
+                                 # None. When present, ``residuals`` holds
+                                 # the FIXED candidate and the plane's
+                                 # choice is ``kind`` (3 = lpc): callers
+                                 # fold the select into their own gather
+                                 # pass instead of this module streaming a
+                                 # [..., B] where-merge nobody reads twice
+                                 # (the merge fusion measured 0.3 ms/batch
+                                 # at 441 GB/s, r5). Rows with kind < 2
+                                 # never read either residual array.
 
 
 def _ilog2(v: int) -> int:
@@ -453,7 +463,8 @@ def analyze_planes(
             speculate=speculate,
         )
         return PlaneAnalysis(
-            *[v if v.ndim == 0 else v.reshape(batch_shape + v.shape[1:])
+            *[v if v is None or v.ndim == 0
+              else v.reshape(batch_shape + v.shape[1:])
               for v in a]
         )
     B = block_size
@@ -591,7 +602,9 @@ def analyze_planes(
         method = jnp.where(better, l_method, method)
         part_order = jnp.where(better, l_po, part_order)
         params = jnp.where(better[..., None], l_params, params)
-        residuals = jnp.where(better[..., None], l_res, residuals)
+        # the [..., B] residual merge is NOT materialized here: callers
+        # fold the kind==3 select into their gather pass (res_lpc field)
+        res_lpc = l_res
         order = jnp.where(better, l_order, order)
         qcoeffs = jnp.where(better[..., None], l_q, qcoeffs)
         qshift = jnp.where(better, l_shift, qshift)
@@ -608,6 +621,7 @@ def analyze_planes(
         qcoeffs, qshift = zq, z32
         use_lpc = jnp.zeros(batch_shape, bool)
         pred_kind = jnp.full(batch_shape, 2, jnp.int32)
+        res_lpc = None
 
     use_pred = (ok | use_lpc) & (rice_bits < verb_bits) & ~all_eq
     kind = jnp.where(all_eq, 0, jnp.where(use_pred, pred_kind, 1)).astype(
@@ -628,6 +642,7 @@ def analyze_planes(
         qshift=qshift,
         wasted=wasted,
         sweep_unsafe=sweep_unsafe,
+        res_lpc=res_lpc,
     )
 
 
@@ -670,6 +685,11 @@ def plan_frames_indep(
     pm = jnp.moveaxis(frames, 1, 0)  # [c, n, B] plane-major
     a = analyze_planes(pm, 32, depth, B, config, speculate=speculate)
     planes_w = pm >> a.wasted[..., None]
+    residuals = a.residuals
+    if a.res_lpc is not None:
+        residuals = jnp.where(
+            (a.kind == 3)[..., None], a.res_lpc, residuals
+        )
     return FrameWirePlan(
         channels_code=jnp.full((n,), c - 1, jnp.int32),
         kind=a.kind,
@@ -679,7 +699,7 @@ def plan_frames_indep(
         sample_size=depth - a.wasted,
         params=a.params,
         planes=planes_w,
-        residuals=a.residuals,
+        residuals=residuals,
         qcoeffs=a.qcoeffs,
         qshift=a.qshift,
         wasted=a.wasted,
@@ -703,50 +723,65 @@ def plan_frames_stereo(
     mid = ((l64 + r64) >> 1).astype(jnp.int32)
     side64 = l64 - r64
 
+    # The four planes ride through the analysis FLAT on one [4n, B] batch
+    # axis (plane-major: rows [k*n, (k+1)*n) are plane k). A [4, n, B]
+    # stack costs two full relayout copies at the analysis boundary
+    # (measured 0.19 ms/1024-frame batch, r5): the packer-facing stack
+    # materializes batch-minor {1,2,0}, analyze_planes' flatten transposes
+    # it to sample-minor {2,1,0}, and the residual unflatten transposes
+    # back. Flat concat + major-axis row slices are layout-free both ways;
+    # the only batch-minor materialization left is gather_ch's output
+    # stack, which must exist anyway.
     if depth == 32:
-        lrm = jnp.stack([left, right, mid], axis=0)  # [3, n, B] i32
+        lrm = jnp.concatenate([left, right, mid], axis=0)  # [3n, B] i32
         a3 = analyze_planes(lrm, 32, depth, B, config, speculate=speculate)
         a_s = analyze_planes(
             side64, 64, depth, B, config, speculate=speculate
         )
-        est = jnp.concatenate([a3.est_bits, a_s.est_bits[None]], axis=0)
-        kind = jnp.concatenate([a3.kind, a_s.kind[None]], axis=0)
-        order = jnp.concatenate([a3.order, a_s.order[None]], axis=0)
-        method = jnp.concatenate([a3.method, a_s.method[None]], axis=0)
+        est = jnp.concatenate([a3.est_bits, a_s.est_bits], axis=0)
+        kind = jnp.concatenate([a3.kind, a_s.kind], axis=0)
+        order = jnp.concatenate([a3.order, a_s.order], axis=0)
+        method = jnp.concatenate([a3.method, a_s.method], axis=0)
         part_order = jnp.concatenate(
-            [a3.part_order, a_s.part_order[None]], axis=0
+            [a3.part_order, a_s.part_order], axis=0
         )
-        params = jnp.concatenate([a3.params, a_s.params[None]], axis=0)
+        params = jnp.concatenate([a3.params, a_s.params], axis=0)
         residuals = jnp.concatenate(
-            [a3.residuals, a_s.residuals[None]], axis=0
+            [a3.residuals, a_s.residuals], axis=0
         )
-        qcoeffs = jnp.concatenate([a3.qcoeffs, a_s.qcoeffs[None]], axis=0)
-        qshift = jnp.concatenate([a3.qshift, a_s.qshift[None]], axis=0)
-        wasted = jnp.concatenate([a3.wasted, a_s.wasted[None]], axis=0)
+        res_lpc = (
+            None if a3.res_lpc is None
+            else jnp.concatenate([a3.res_lpc, a_s.res_lpc], axis=0)
+        )
+        qcoeffs = jnp.concatenate([a3.qcoeffs, a_s.qcoeffs], axis=0)
+        qshift = jnp.concatenate([a3.qshift, a_s.qshift], axis=0)
+        wasted = jnp.concatenate([a3.wasted, a_s.wasted], axis=0)
         sweep_unsafe = a3.sweep_unsafe | a_s.sweep_unsafe
         planes_w = jnp.concatenate(
-            [lrm.astype(jnp.int64), side64[None]], axis=0
+            [lrm.astype(jnp.int64), side64], axis=0
         ) >> wasted[..., None].astype(jnp.int64)
-        # [4, n, B] — i64: the side channel is 33-bit at depth 32
+        # [4n, B] — i64: the side channel is 33-bit at depth 32
     else:
         side = side64.astype(jnp.int32)
-        lrms = jnp.stack([left, right, mid, side], axis=0)  # [4, n, B]
+        lrms = jnp.concatenate([left, right, mid, side], axis=0)  # [4n, B]
         a = analyze_planes(lrms, 32, depth, B, config, speculate=speculate)
         est, kind, order, method = a.est_bits, a.kind, a.order, a.method
         part_order, params, residuals = a.part_order, a.params, a.residuals
         qcoeffs, qshift = a.qcoeffs, a.qshift
         wasted = a.wasted
         sweep_unsafe = a.sweep_unsafe
+        res_lpc = a.res_lpc
         planes_w = lrms >> wasted[..., None]
         # i32: all planes fit (side <= depth+1 <= 25 bits)
 
-    # mode sums in plane order [L, R, M, S] = indices 0,1,2,3
+    # mode sums in plane order [L, R, M, S] = row groups 0,1,2,3
+    pl = lambda x, k: x[k * n:(k + 1) * n]
     sums = jnp.stack(
         [
-            est[0] + est[1],  # Indep
-            est[0] + est[3],  # LeftSide
-            est[3] + est[1],  # SideRight
-            est[2] + est[3],  # MidSide
+            pl(est, 0) + pl(est, 1),  # Indep
+            pl(est, 0) + pl(est, 3),  # LeftSide
+            pl(est, 3) + pl(est, 1),  # SideRight
+            pl(est, 2) + pl(est, 3),  # MidSide
         ],
         axis=0,
     )
@@ -754,12 +789,29 @@ def plan_frames_stereo(
 
     # wire-channel planes per mode (L,R,M,S = 0,1,2,3): wire0 = [L,L,S,M],
     # wire1 = [R,S,R,S]. Elementwise selects, not gathers — per-element
-    # gathers over the big [4, n, B] tensors lower poorly on TPU.
+    # gathers over the big [4n, B] tensors lower poorly on TPU.
     def gather_ch(x):
-        ct = ch_type.reshape(n, *([1] * (x.ndim - 2)))
-        w0 = jnp.where(ct <= 1, x[0], jnp.where(ct == 2, x[3], x[2]))
-        w1 = jnp.where((ct == 0) | (ct == 2), x[1], x[3])
+        ct = ch_type.reshape(n, *([1] * (x.ndim - 1)))
+        w0 = jnp.where(
+            ct <= 1, pl(x, 0), jnp.where(ct == 2, pl(x, 3), pl(x, 2))
+        )
+        w1 = jnp.where((ct == 0) | (ct == 2), pl(x, 1), pl(x, 3))
         return jnp.stack([w0, w1], axis=0)
+
+    # residuals gather with the LPC-candidate select FOLDED IN: plane k's
+    # residual is res_lpc when its kind == 3 (rows with kind < 2 never
+    # read either) — one fused select tree instead of analyze_planes
+    # materializing a merged [4n, B] array this pass immediately rereads
+    if res_lpc is None:
+        residuals_w = gather_ch(residuals)
+    else:
+        rk = lambda k: jnp.where(
+            (pl(kind, k) == 3)[:, None], pl(res_lpc, k), pl(residuals, k)
+        )
+        ct1 = ch_type[:, None]
+        rw0 = jnp.where(ct1 <= 1, rk(0), jnp.where(ct1 == 2, rk(3), rk(2)))
+        rw1 = jnp.where((ct1 == 0) | (ct1 == 2), rk(1), rk(3))
+        residuals_w = jnp.stack([rw0, rw1], axis=0)
 
     # side sits at wire 0 for SideRight, wire 1 for LeftSide/MidSide; the
     # side channel is written with depth+1 bits (libFLAC/Encoder.zig:203-206);
@@ -777,7 +829,7 @@ def plan_frames_stereo(
         sample_size=jnp.stack([ss0, ss1], axis=0),
         params=gather_ch(params),
         planes=gather_ch(planes_w),
-        residuals=gather_ch(residuals),
+        residuals=residuals_w,
         qcoeffs=gather_ch(qcoeffs),
         qshift=gather_ch(qshift),
         wasted=wasted_w,

@@ -252,30 +252,37 @@ def _lags_q28(lags, xp):
     return (vs << np.int64(_Q)) // v0  # Q28, r_0 == 2^28 exactly
 
 
-def _quantize_fixed(coeffs, order: int, precision: int, xp):
-    """Quantize Q28 coefficients to ``precision`` signed bits with error
-    feedback — the float scheme's exact integer twin: shift =
-    precision-1 - (floor(log2 cmax)+1) in [0, 15], q_j = clamp(round(c_j *
-    2^shift + fb)) with round-half-up (a defined deterministic rule; both
-    backends use it, so golden == device by construction)."""
-    cmax = xp.abs(coeffs[..., :order]).max(axis=-1)
+def _quantize_selected(coeffs, cmax, order, max_order: int, precision: int,
+                       xp):
+    """Quantize the SELECTED candidate's Q28 coefficients to ``precision``
+    signed bits with error feedback — the float scheme's exact integer
+    twin: shift = precision-1 - (floor(log2 cmax)+1) in [0, 15], q_j =
+    clamp(round(c_j * 2^shift + fb)) with round-half-up (a defined
+    deterministic rule; both backends use it, so golden == device by
+    construction). ``order`` is a per-plane tensor; the loop runs
+    ``max_order`` static steps and masks q_j = 0 for j >= order (the old
+    per-candidate form quantized each candidate order separately —
+    sum(orders) tiny-op loop iterations plus [..., 32] where-merges per
+    candidate; selecting the [..., max_order] Q28 snapshot first and
+    quantizing once is bit-identical for j < order because the snapshot
+    and the error-feedback history match, and the explicit mask pins
+    j >= order to the old zero padding even when a clamped unstable
+    recursion leaks feedback past the selected order)."""
     bl = _bitlen_nonneg(cmax, xp)  # floor(log2 cmax) = bl - 1 - _Q
     shift = xp.clip((precision - 1) - (bl - 1 - _Q + 1), 0, 15)
     qmax = np.int64((1 << (precision - 1)) - 1)
     qmin = np.int64(-(1 << (precision - 1)))
     half = np.int64(1 << (_Q - 1))
+    zero = xp.zeros_like(order)
     fb = xp.zeros_like(cmax)
     qs = []
-    for j in range(order):
+    for j in range(max_order):
         target = (coeffs[..., j] << shift) + fb
         q = xp.clip((target + half) >> np.int64(_Q), qmin, qmax)
         fb = target - (q << np.int64(_Q))
-        qs.append(q.astype(xp.int32))
+        qs.append(xp.where(j < order, q.astype(xp.int32), zero))
     qcoeffs = xp.stack(qs, axis=-1)
-    # cmax == 0 (all-zero coefficients: silence) and runaway magnitudes
-    # (unstable recursion) both disqualify the candidate
-    ok = (cmax > 0) & (cmax < (np.int64(1) << np.int64(48)))
-    return qcoeffs, shift.astype(xp.int32), ok
+    return qcoeffs, shift.astype(xp.int32)
 
 
 def fixed_point_levinson(lags, orders: Tuple[int, ...], precision: int, xp):
@@ -287,15 +294,16 @@ def fixed_point_levinson(lags, orders: Tuple[int, ...], precision: int, xp):
     transfer per batch on thin links).
 
     ``lags`` int64 [..., max_order+1, 3] limbs -> list of ``(order,
-    qcoeffs i32 [..., 32] zero-padded, shift i32 [...], ok bool, err Q28
-    int64)`` per candidate order (one recursion captures all of them;
-    ``err`` is the recursion's prediction-error energy, the candidate-
-    selection signal — see select_lpc_candidate). All arithmetic is
-    int64 adds / multiplies / arithmetic shifts / floor divisions — each
-    exact and identical across backends. Magnitudes are clamped (|k| <= 2
-    in Q28, |c| <= 32, |acc| <= 64) so no product can overflow int64;
-    clamped (unstable) recursions produce valid-but-poor coefficients
-    that lose the candidate search or trip ``ok``."""
+    C i64 [..., max_order] Q28 coefficient snapshot, cmax i64 [...],
+    ok bool, err Q28 int64)`` per candidate order (one recursion captures
+    all of them; ``err`` is the recursion's prediction-error energy, the
+    candidate-selection signal — see select_lpc_candidate, which picks
+    ONE candidate and quantizes only it via _quantize_selected). All
+    arithmetic is int64 adds / multiplies / arithmetic shifts / floor
+    divisions — each exact and identical across backends. Magnitudes are
+    clamped (|k| <= 2 in Q28, |c| <= 32, |acc| <= 64) so no product can
+    overflow int64; clamped (unstable) recursions produce valid-but-poor
+    coefficients that lose the candidate search or trip ``ok``."""
     r = _lags_q28(lags, xp)
     max_order = max(orders)
     batch = r.shape[:-1]
@@ -335,10 +343,11 @@ def fixed_point_levinson(lags, orders: Tuple[int, ...], precision: int, xp):
             np.int64(_Q)
         )
         if (i + 1) in orders:
-            qc, shift, ok = _quantize_fixed(C[..., : i + 1], i + 1,
-                                            precision, xp)
-            pad = [(0, 0)] * (qc.ndim - 1) + [(0, 32 - (i + 1))]
-            out.append((i + 1, xp.pad(qc, pad), shift, ok, err))
+            cmax = xp.abs(C[..., : i + 1]).max(axis=-1)
+            # cmax == 0 (all-zero coefficients: silence) and runaway
+            # magnitudes (unstable recursion) disqualify the candidate
+            ok = (cmax > 0) & (cmax < (np.int64(1) << np.int64(48)))
+            out.append((i + 1, C, cmax, ok, err))
     return out
 
 
@@ -360,28 +369,35 @@ def select_lpc_candidate(pre, block_size: int, precision: int, xp):
     estimate): est_bits(o) ~ B * log2(err_o)/2 + coefficient overhead
     (9 + o*precision). One Rice sweep then runs for the selected
     candidate instead of one per candidate (the LPC mode's dominant cost
-    once coefficients moved in-program). Integer Q8 log2 keeps the rule
-    bit-identical across backends; first-min tie-break over ascending
-    orders. Returns (order i32 [...], qc i32 [..., 32], shift i32, ok) —
-    ``ok`` is False when NO candidate is usable."""
+    once coefficients moved in-program), and only the SELECTED
+    candidate's coefficients are quantized (_quantize_selected) — the
+    per-candidate quantization loops were sum(orders) sequenced tiny ops.
+    Integer Q8 log2 keeps the rule bit-identical across backends;
+    first-min tie-break over ascending orders. Returns (order i32 [...],
+    qc i32 [..., 32], shift i32, ok) — ``ok`` is False when NO candidate
+    is usable."""
     score = None
-    order = qc = shift = ok = None
-    for o, c_qc, c_shift, c_ok, c_err in pre:
+    order = coeffs = cmax = ok = None
+    max_order = max(o for o, *_ in pre)
+    for o, c_C, c_cmax, c_ok, c_err in pre:
         s = (block_size * _log2_q8(xp.maximum(c_err, 1), xp)) >> np.int64(1)
         s = s + np.int64((9 + o * precision) << 8)
         # unusable candidates never win: larger than any real score
         s = xp.where(c_ok, s, np.int64(1) << np.int64(62))
         if score is None:
             score, order = s, xp.full(s.shape, o, xp.int32)
-            qc, shift, ok = c_qc, c_shift, c_ok
+            coeffs, cmax, ok = c_C, c_cmax, c_ok
         else:
             better = s < score  # strict <: first-min keeps the lower order
             score = xp.where(better, s, score)
             order = xp.where(better, o, order).astype(xp.int32)
-            qc = xp.where(better[..., None], c_qc, qc)
-            shift = xp.where(better, c_shift, shift)
+            coeffs = xp.where(better[..., None], c_C, coeffs)
+            cmax = xp.where(better, c_cmax, cmax)
             ok = ok | c_ok
-    return order, qc, shift, ok
+    qc, shift = _quantize_selected(coeffs, cmax, order, max_order,
+                                   precision, xp)
+    pad = [(0, 0)] * (qc.ndim - 1) + [(0, 32 - max_order)]
+    return order, xp.pad(qc, pad), shift, ok
 
 
 def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp,
@@ -442,15 +458,34 @@ def lpc_residuals(planes, qcoeffs, shift, order, max_order: int, xp,
             pred = pred + qcoeffs[..., j : j + 1].astype(xp.int64) * sh.astype(
                 xp.int64
             )
-    if narrow:
-        pred = (s_hi.astype(xp.int64) << 8) + s_lo
-    pred = pred >> shift[..., None].astype(xp.int64)
-    res = planes.astype(xp.int64) - pred
     if xp is np:
         idx = np.arange(B, dtype=np.int32)
         idx = np.broadcast_to(idx, planes.shape)
     else:
         idx = jax.lax.broadcasted_iota(xp.int32, planes.shape, planes.ndim - 1)
+    if narrow:
+        # finish in PURE i32 — every elementwise i64 op in the finale pays
+        # the TPU 2-limb emulation (the (<<8)+lo >> shift - sub chain
+        # measured ~0.28 ms/batch, r5). Exact split of the shift:
+        # pred = ((hi << 8) + lo) >> s with s in [0, 15]; for s_l =
+        # min(s, 8), hi*2^8 is divisible by 2^s_l, so the first >> s_l
+        # distributes term-wise (hi*2^8/2^s_l exact + floor(lo/2^s_l)) and
+        # the remaining >> (s - s_l) composes (floor of floor). Magnitudes
+        # (docstring proof, d <= 19): |final pred| <= 2^30, |lo >> s_l| <=
+        # 2^27, so every term and intermediate fits i32 (|hi << (8-s_l)|
+        # <= |pred| + |lo >> s_l| by the triangle inequality when s_l = s,
+        # and |hi + (lo >> 8)| <= 2^30 + 2^19 when s_l = 8).
+        s32 = shift[..., None].astype(xp.int32)
+        s_l = xp.minimum(s32, 8)
+        t = (s_hi << (8 - s_l)) + (s_lo >> s_l)
+        pred32 = t >> (s32 - s_l)
+        res = planes.astype(xp.int32) - pred32
+        res = xp.where(idx < xp.asarray(order)[..., None], 0, res)
+        # statically proven in range (see docstring): no dynamic check
+        fits = xp.ones(planes.shape[:-1], dtype=bool)
+        return res, fits
+    pred = pred >> shift[..., None].astype(xp.int64)
+    res = planes.astype(xp.int64) - pred
     res = xp.where(idx < xp.asarray(order)[..., None], 0, res)
     if sample_size is not None and sample_size <= 18:  # d = depth+1 <= 19
         # statically proven in range (see docstring): no dynamic check
