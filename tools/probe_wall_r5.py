@@ -48,7 +48,8 @@ def wall(fn, N=10, rounds=3):
     return best
 
 
-for mode in ("fixed", "lpc"):
+modes = sys.argv[1:] or ["fixed", "lpc"]
+for mode in modes:
     cfg = EncoderConfig.default(2)
     if mode == "lpc":
         cfg = _replace(cfg, prediction="lpc")
